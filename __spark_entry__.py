@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship curation pipeline (HTML parse ->
+neural node scoring -> ordered assembly -> quality chain) over a
+web_pages table synthesized deterministically from the sf0.001
+``documents`` parquet. ``queries()``/``oracle_sql()`` expose one entry
+per implemented operator from SURVEY.md §2 with a DuckDB oracle where
+SQL-expressible; non-SQL operators (the neural pipeline itself, langid,
+perplexity) appear without an oracle and get the driver's rows-only
+check — their real gate is the byte-identity pytest suite
+(tests/test_pipeline.py) against the single-process oracle.
 """
 
 from __future__ import annotations
@@ -15,24 +19,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extract + quality-filter chain at sf0.001."""
+    from neuscraper_spark.corpus import web_pages_from_documents
+    from neuscraper_spark.operators.extract import extract_pipeline
+    from neuscraper_spark.operators.quality import (
+        build_ppl_tables_from_texts,
+        quality_chain,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    web_pages = web_pages_from_documents(spark, sf_dir)
+    extracted = extract_pipeline(spark, web_pages)
+    # fit the perplexity LM on the domain sample (deterministic: doc_id
+    # order), then broadcast — the "fit small, score wide" pattern
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sample = [r.text for r in docs.select("text").orderBy("doc_id").limit(200).collect()]
+    curated = quality_chain(
+        spark, extracted, text_col="text", ppl_tables=build_ppl_tables_from_texts(sample)
+    )
+    return curated.select(
+        "url", "text", "lang_pred", "lang_conf", "ppl", "n_words",
+        "quality_pass", "scrubbed_text", "pii_count", "toxicity_pass", "keep",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from neuscraper_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from neuscraper_spark.queries import all_oracles
+
+    return all_oracles()

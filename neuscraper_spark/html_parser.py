@@ -1,0 +1,171 @@
+"""Stdlib-HTML DOM instrumenter: html -> ordered node rows.
+
+Re-implements the reference's page-level parse on ``html.parser``
+(bs4 is unavailable here), preserving the three invariants every
+downstream operator depends on (SURVEY.md §1.b):
+
+1. **Node-ID assignment** — reverse pre-order via a LIFO stack that
+   pushes children in document order and pops last-child-first
+   (reference: src/warc/build.py:37-67, identical at app/builder.py:38-59).
+   Consequence: for any two nodes where neither is the other's ancestor,
+   *descending node_id == document order*; final text assembly sorts
+   node_id descending (src/warc/get_text.py:36).
+2. **Synthetic text nodes** — bare strings are wrapped in
+   ``<span instrument_node>`` and get their own id, *except* strings
+   directly under an existing ``<span>`` (src/warc/build.py:54-63).
+3. **noscript exclusion** — an instrument span whose parent is
+   ``<noscript>`` is not a text node (src/api/CommonCrawlApi.py:53).
+
+The per-page node graph is per-row scratch state, never a distributed
+structure: this module is pure Python and runs inside ``mapInPandas``
+batches (operators/extract.py) and inside the single-process oracle.
+
+Known divergence from bs4 (documented, corpus avoids them): comments,
+doctypes and processing instructions are dropped entirely; bs4 would
+treat a Comment as a wrappable string.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+class _Elem:
+    __slots__ = ("tag", "children", "parent", "node_id", "is_instrument")
+
+    def __init__(self, tag: str, parent: "_Elem | None"):
+        self.tag = tag
+        self.children: list[object] = []  # _Elem | str
+        self.parent = parent
+        self.node_id: int | None = None
+        self.is_instrument = False
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.top: list[object] = []
+        self._stack: list[_Elem] = []
+
+    def _append(self, child: object) -> None:
+        if self._stack:
+            self._stack[-1].children.append(child)
+            if isinstance(child, _Elem):
+                child.parent = self._stack[-1]
+        else:
+            self.top.append(child)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        el = _Elem(tag, None)
+        self._append(el)
+        if tag not in VOID_TAGS:
+            self._stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self._append(_Elem(tag, None))
+
+    def handle_endtag(self, tag: str) -> None:
+        # tolerant close: pop to the nearest matching open tag, else ignore
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self._append(data)
+
+
+def _parse_tree(html: str) -> list[object]:
+    p = _TreeBuilder()
+    p.feed(html)
+    p.close()
+    return p.top
+
+
+def _first_element(top: list[object]) -> _Elem | None:
+    for child in top:
+        if isinstance(child, _Elem):
+            return child
+    return None
+
+
+def _instrument(root: _Elem) -> None:
+    """Assign node ids exactly like the reference's add_node_id
+    (src/warc/build.py:44-65): LIFO stack, children pushed in document
+    order, bare strings span-wrapped (except directly under <span>)."""
+    stack: list[_Elem] = [root]
+    node_index = 0
+    while stack:
+        node = stack.pop()
+        if node.node_id is not None:
+            continue
+        node.node_id = node_index
+        node_index += 1
+        for i, child in enumerate(node.children):
+            if isinstance(child, str):
+                if node.tag == "span":
+                    continue  # bare strings under <span> stay unwrapped
+                wrapper = _Elem("span", node)
+                wrapper.is_instrument = True
+                wrapper.children.append(child)
+                node.children[i] = wrapper
+                stack.append(wrapper)
+            else:
+                stack.append(child)
+
+
+def _subtree_text(el: _Elem, out: list[str]) -> None:
+    for child in el.children:
+        if isinstance(child, str):
+            out.append(child)
+        else:
+            _subtree_text(child, out)
+
+
+@dataclass
+class NodeRow:
+    """One instrumented DOM node, in document (pre-order) position ``seq``."""
+
+    seq: int
+    node_id: int
+    tag: str
+    is_text: bool
+    text: str  # full subtree text, UN-stripped (C1 strip applied downstream)
+    __slots__ = ("seq", "node_id", "tag", "is_text", "text")
+
+
+def parse_nodes(html: str) -> list[NodeRow]:
+    """html string -> instrumented node rows in document order.
+
+    Document order mirrors the reference's ``soup.find_all()`` iteration
+    over the instrumented tree (src/api/CommonCrawlApi.py:39-79), which is
+    the order the model sequence is built in (src/warc/build.py:83).
+    Returns [] for pages with no elements.
+    """
+    root = _first_element(_parse_tree(html))
+    if root is None:
+        return []
+    _instrument(root)
+
+    rows: list[NodeRow] = []
+    seq = 0
+    # iterative pre-order walk over instrumented elements only
+    walk: list[_Elem] = [root]
+    while walk:
+        el = walk.pop()
+        if el.node_id is not None:
+            buf: list[str] = []
+            _subtree_text(el, buf)
+            is_text = el.is_instrument and (el.parent is None or el.parent.tag != "noscript")
+            rows.append(NodeRow(seq, el.node_id, el.tag, is_text, "".join(buf)))
+            seq += 1
+        walk.extend(
+            c for c in reversed(el.children) if isinstance(c, _Elem)
+        )
+    return rows

@@ -1,0 +1,260 @@
+"""Deterministic NumPy content-extraction scorer.
+
+Same topology as the reference's ContentExtractionTextEncoder
+(reference: src/scraper/model.py:49-124), re-expressed as a pure NumPy
+float32 forward pass (torch/transformers unavailable; weights are
+seed-derived — no pretrained checkpoint exists in this sandbox, so this
+model *defines* the reference labels via the single-process oracle path,
+see BASELINE.md):
+
+  token ids -> embedding -> masked mean pool ("pooler", ref pools via
+  XLMR pooler_output, model.py:102-103) -> Linear text_in->text_emb
+  (model.py:69-71) -> sinusoidal positional encoding over the 384-node
+  axis + LayerNorm (model.py:8-25,110-114) -> NODE_LAYERS-layer
+  multi-head self-attention encoder over nodes (model.py:73-81,117-118)
+  -> per-node Linear -> sigmoid over NUM_CLASSES heads (model.py:60,
+  122-124).
+
+Plus one departure from random init: a *calibration prior* added to the
+pre-sigmoid logits, computed from per-node token statistics, so that the
+Primary head behaves like a trained content extractor (long prose nodes
+score > 0.9, nav crumbs score low) instead of hovering at 0.5. It is a
+deterministic function of the inputs, shared bit-for-bit by the oracle.
+
+Scores are quantized to SCORE_DECIMALS before any thresholding so batch
+shape / BLAS kernel choice cannot flip decisions (SURVEY.md §7).
+
+The weight dict is what gets broadcast to executors
+(sc.broadcast(load_weights())) — the Spark twin of the reference loading
+a checkpoint once per GPU (src/scraper/inference.py:46-74).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import (
+    CHUNK_SIZE,
+    EOS_ID,
+    MODEL_MAX_TOKEN_LEN,
+    MODEL_SEED,
+    NODE_HEADS,
+    NODE_LAYERS,
+    NUM_CLASSES,
+    PAD_ID,
+    SCORE_DECIMALS,
+    TEXT_EMB_DIM,
+    TEXT_IN_EMB_DIM,
+    VOCAB_SIZE,
+)
+
+F32 = np.float32
+
+
+def _positional_encoding(max_len: int, d_model: int) -> np.ndarray:
+    # Reference quirk preserved: positions advance by 0.5 per step
+    # (position = arange(0, max_len/2).repeat(1,2), model.py:15-16).
+    pe = np.zeros((max_len, d_model), dtype=F32)
+    position = np.repeat(np.arange(0, max_len / 2, dtype=F32), 2)[:max_len, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=F32) * (-np.log(10000.0) / d_model))
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+def load_weights(seed: int = MODEL_SEED) -> dict[str, np.ndarray]:
+    """Seed-derived weight dict; the broadcastable constant state."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+
+    def glorot(*shape):
+        limit = np.sqrt(6.0 / (shape[0] + shape[-1]))
+        return rng.uniform(-limit, limit, size=shape).astype(F32)
+
+    w: dict[str, np.ndarray] = {
+        "tok_emb": (rng.standard_normal((VOCAB_SIZE, TEXT_IN_EMB_DIM)) * 0.02).astype(F32),
+        "textlinear_w": glorot(TEXT_IN_EMB_DIM, TEXT_EMB_DIM),
+        "textlinear_b": np.zeros(TEXT_EMB_DIM, dtype=F32),
+        "pe": _positional_encoding(CHUNK_SIZE, TEXT_EMB_DIM),
+        "ln0_g": np.ones(TEXT_EMB_DIM, dtype=F32),
+        "ln0_b": np.zeros(TEXT_EMB_DIM, dtype=F32),
+        "head_w": glorot(TEXT_EMB_DIM, NUM_CLASSES),
+        "head_b": np.zeros(NUM_CLASSES, dtype=F32),
+    }
+    for l in range(NODE_LAYERS):
+        w[f"l{l}_qkv_w"] = glorot(TEXT_EMB_DIM, 3 * TEXT_EMB_DIM)
+        w[f"l{l}_qkv_b"] = np.zeros(3 * TEXT_EMB_DIM, dtype=F32)
+        w[f"l{l}_proj_w"] = glorot(TEXT_EMB_DIM, TEXT_EMB_DIM)
+        w[f"l{l}_proj_b"] = np.zeros(TEXT_EMB_DIM, dtype=F32)
+        w[f"l{l}_ff1_w"] = glorot(TEXT_EMB_DIM, 4 * TEXT_EMB_DIM)
+        w[f"l{l}_ff1_b"] = np.zeros(4 * TEXT_EMB_DIM, dtype=F32)
+        w[f"l{l}_ff2_w"] = glorot(4 * TEXT_EMB_DIM, TEXT_EMB_DIM)
+        w[f"l{l}_ff2_b"] = np.zeros(TEXT_EMB_DIM, dtype=F32)
+        w[f"l{l}_ln1_g"] = np.ones(TEXT_EMB_DIM, dtype=F32)
+        w[f"l{l}_ln1_b"] = np.zeros(TEXT_EMB_DIM, dtype=F32)
+        w[f"l{l}_ln2_g"] = np.ones(TEXT_EMB_DIM, dtype=F32)
+        w[f"l{l}_ln2_b"] = np.zeros(TEXT_EMB_DIM, dtype=F32)
+
+    # Self-calibration: a randomly-initialized head carries an arbitrary
+    # bias/scale, so normalize its logits against a deterministic probe
+    # batch. After this, the head contributes ~±HEAD_NOISE of spread
+    # around the calibration prior — a trained model's decision margin.
+    w["head_shift"] = np.zeros(NUM_CLASSES, dtype=F32)
+    w["head_scale"] = np.ones(NUM_CLASSES, dtype=F32)
+    probe_ids = rng.integers(64, VOCAB_SIZE, size=(4, 64, MODEL_MAX_TOKEN_LEN)).astype(np.int64)
+    probe_masks = np.ones_like(probe_ids, dtype=bool)
+    raw = _raw_logits(probe_ids, probe_masks, w).reshape(-1, NUM_CLASSES)
+    w["head_shift"] = raw.mean(axis=0).astype(F32)
+    w["head_scale"] = (HEAD_NOISE / np.maximum(raw.std(axis=0), 1e-4)).astype(F32)
+    return w
+
+
+HEAD_NOISE = 0.6
+
+
+def _layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True, dtype=F32)
+    var = x.var(axis=-1, keepdims=True, dtype=F32)
+    return ((x - mu) / np.sqrt(var + F32(1e-5)) * g + b).astype(F32)
+
+
+def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x, dtype=F32)
+    return e / e.sum(axis=axis, keepdims=True, dtype=F32)
+
+
+def _attention_block(x: np.ndarray, w: dict, l: int, node_mask: np.ndarray) -> np.ndarray:
+    """One post-LN transformer layer over the node axis. x: [B,S,D]."""
+    B, S, D = x.shape
+    H = NODE_HEADS
+    dh = D // H
+    qkv = x @ w[f"l{l}_qkv_w"] + w[f"l{l}_qkv_b"]  # [B,S,3D]
+    q, k, v = np.split(qkv, 3, axis=-1)
+
+    def heads(t):  # [B,S,D] -> [B,H,S,dh]
+        return t.reshape(B, S, H, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    att = (q @ k.transpose(0, 1, 3, 2)) / F32(np.sqrt(dh))  # [B,H,S,S]
+    # mask out padded node positions as attention keys
+    att = np.where(node_mask[:, None, None, :], att, F32(-1e9))
+    att = _softmax(att, axis=-1)
+    out = (att @ v).transpose(0, 2, 1, 3).reshape(B, S, D)
+    out = out @ w[f"l{l}_proj_w"] + w[f"l{l}_proj_b"]
+    x = _layer_norm((x + out).astype(F32), w[f"l{l}_ln1_g"], w[f"l{l}_ln1_b"])
+    ff = np.maximum(x @ w[f"l{l}_ff1_w"] + w[f"l{l}_ff1_b"], F32(0)) @ w[f"l{l}_ff2_w"] + w[f"l{l}_ff2_b"]
+    return _layer_norm((x + ff).astype(F32), w[f"l{l}_ln2_g"], w[f"l{l}_ln2_b"])
+
+
+def _calibration_prior(token_ids: np.ndarray, token_masks: np.ndarray) -> np.ndarray:
+    """Deterministic per-node prior logits [B,S,NUM_CLASSES].
+
+    Plays the role of the trained weights' knowledge: long, word-dense,
+    low-symbol nodes are primary content; symbol-heavy nodes (script/
+    style payloads, css) are boilerplate. Computed from the same tensors
+    the model sees — symbol density is read off the tokenizer's low-id
+    punctuation band (tokenizer.PUNCT_BAND) — in float32, identically on
+    oracle and executors.
+    """
+    from .tokenizer import PUNCT_BAND
+
+    B, S, L = token_ids.shape
+    n_real = token_masks.sum(axis=-1, dtype=F32)  # [B,S] ids != PAD (incl BOS/EOS)
+    full = F32(L)
+    is_piece = token_masks & (token_ids >= 3)  # excludes BOS/PAD/EOS slots
+    n_pieces = np.maximum(is_piece.sum(axis=-1, dtype=F32), F32(1.0))
+    n_punct = (token_masks & (token_ids >= 4) & (token_ids < PUNCT_BAND)).sum(axis=-1, dtype=F32)
+    punct_frac = n_punct / n_pieces
+    fill = n_real / full
+    primary = F32(6.8) * fill * fill * fill - F32(3.2) - F32(8.0) * punct_frac
+    prior = np.zeros((B, S, NUM_CLASSES), dtype=F32)
+    prior[:, :, 0] = primary
+    prior[:, :, 3] = primary * F32(0.5)  # Paragraph head loosely follows
+    return prior
+
+
+def tensorize_chunk(token_ids_50: list[list[int]]) -> tuple[np.ndarray, np.ndarray]:
+    """Chunk of per-node 50-id rows -> model tensors [S, 5] ids + mask.
+
+    Mirrors src/scraper/processing.py:65-86: truncate node axis to
+    CHUNK_SIZE, keep first MODEL_MAX_TOKEN_LEN-1 ids + EOS, mask=id!=PAD,
+    zero-pad node axis to CHUNK_SIZE.
+    """
+    rows = token_ids_50[:CHUNK_SIZE]
+    S, L = CHUNK_SIZE, MODEL_MAX_TOKEN_LEN
+    ids = np.zeros((S, L), dtype=np.int64)
+    if rows:
+        arr = np.asarray(rows, dtype=np.int64)[:, : L - 1]
+        ids[: arr.shape[0], : L - 1] = arr
+        ids[: arr.shape[0], L - 1] = EOS_ID
+    # reference: mask = ids != PAD computed on real nodes (BOS=0 counts as
+    # real, processing.py:77), THEN node-axis zero-padding with mask=0
+    # (processing.py:79-80).
+    masks = ids != PAD_ID
+    masks[len(rows) :, :] = False
+    return ids, masks
+
+
+def _raw_logits(token_ids: np.ndarray, token_masks: np.ndarray, w: dict) -> np.ndarray:
+    """Shared forward pass -> uncalibrated head logits [B,S,NUM_CLASSES]."""
+    B, S, L = token_ids.shape
+    m = token_masks.astype(F32)[..., None]
+    # pool without materializing [B,S,L,Din]: loop the tiny L axis
+    pooled = np.zeros((B, S, TEXT_IN_EMB_DIM), dtype=F32)
+    for li in range(L):
+        pooled += w["tok_emb"][token_ids[:, :, li]] * m[:, :, li]
+    denom = np.maximum(m.sum(axis=2), F32(1.0))  # [B,S,1]
+    pooled = pooled / denom  # masked mean pool [B,S,Din]
+    x = (pooled @ w["textlinear_w"] + w["textlinear_b"]).astype(F32)
+    x = _layer_norm(x + w["pe"][None, :S, :], w["ln0_g"], w["ln0_b"])
+    node_mask = token_masks.any(axis=-1)  # [B,S]
+    for l in range(NODE_LAYERS):
+        x = _attention_block(x, w, l, node_mask)
+    return (x @ w["head_w"] + w["head_b"]).astype(F32)
+
+
+def score_batch(token_ids: np.ndarray, token_masks: np.ndarray, w: dict) -> np.ndarray:
+    """[B,S,L] int64 ids + bool masks -> [B,S,NUM_CLASSES] quantized sigmoid scores."""
+    raw = _raw_logits(token_ids, token_masks, w)
+    logits = (raw - w["head_shift"]) * w["head_scale"]
+    logits = logits + _calibration_prior(token_ids, token_masks)
+    scores = 1.0 / (1.0 + np.exp(-logits.astype(np.float64)))
+    scores = np.round(scores, SCORE_DECIMALS).astype(F32)
+    node_mask = token_masks.any(axis=-1)
+    scores = np.where(node_mask[..., None], scores, F32(0))
+    return scores
+
+
+# Micro-batch size for the NumPy forward pass: bounds the transient
+# attention tensor [B, heads, S, S] regardless of the Arrow batch size
+# (the Arrow batch ~ the reference's DataLoader batch of 256,
+# src/scraper/commoncrawl.py:84; the micro-batch is a memory knob only —
+# per-chunk results are independent of batch composition, asserted by
+# tests/test_model.py).
+MICRO_BATCH = 32
+
+
+def score_chunks(chunks_token_ids: list[list[list[int]]], w: dict) -> np.ndarray:
+    """Score a list of chunks (each: list of per-node 50-id rows).
+
+    Returns [n_chunks, CHUNK_SIZE, NUM_CLASSES] quantized scores. The
+    node axis is trimmed to the longest real chunk (rounded up to 32)
+    before the forward pass — valid because padded node positions are
+    masked out of attention, so real-node scores are independent of the
+    padded tail — and re-padded with zeros on return.
+    """
+    n = len(chunks_token_ids)
+    out = np.zeros((n, CHUNK_SIZE, NUM_CLASSES), dtype=F32)
+    if n == 0:
+        return out
+    ids = np.zeros((n, CHUNK_SIZE, MODEL_MAX_TOKEN_LEN), dtype=np.int64)
+    masks = np.zeros((n, CHUNK_SIZE, MODEL_MAX_TOKEN_LEN), dtype=bool)
+    max_nodes = 1
+    for i, rows in enumerate(chunks_token_ids):
+        ids[i], masks[i] = tensorize_chunk(rows)
+        max_nodes = max(max_nodes, min(len(rows), CHUNK_SIZE))
+    s_trim = min(CHUNK_SIZE, ((max_nodes + 31) // 32) * 32)
+    for lo in range(0, n, MICRO_BATCH):
+        hi = min(lo + MICRO_BATCH, n)
+        out[lo:hi, :s_trim] = score_batch(ids[lo:hi, :s_trim], masks[lo:hi, :s_trim], w)
+    return out

@@ -1,0 +1,328 @@
+"""Neural content-extraction pipeline, Spark-first.
+
+Rebuilds the reference's preprocessing + scoring + assembly chain
+(src/warc/build.py -> src/scraper/commoncrawl.py -> src/warc/get_text.py;
+SURVEY.md §3.1-3.2) as a declarative DataFrame plan:
+
+    web_pages ──parse_nodes (mapInPandas, T1/T2/F4/F5/T4/T5/T3)──> nodes
+    nodes ──group (url, chunk_id) [shuffle 1]──> chunks
+    chunks ──score_nodes (mapInPandas, M1, broadcast weights)──> scored
+    scored ──filter θ=0.9, node_id!=0, text!='' (F6/F9/J1-fused)──> kept
+    kept ──groupBy(url) ordered concat (A1/W1) [shuffle 2]──> extracted
+
+Scale notes (100 TB design):
+
+- Exactly **two shuffles**, both keyed by url. The reference's J1 join
+  (predictions ⟕ text_nodes on (Url, TextNodeId), get_text.py:6-8) is
+  *fused away*: node text rides through the chunk structs, and
+  ``text != ''`` reproduces the join+dropna semantics exactly — the
+  non-empty sequence members are precisely the text_nodes side
+  (SURVEY.md §2.2 F4; an empty <ol> can be predicted but never joins).
+  J1 remains available as a standalone operator for parity testing.
+- The 100KB+ ``html`` blobs are dropped at the first ``select`` after
+  parsing — they never enter a shuffle.
+- Ordered concat uses array_sort *inside* the aggregation (shuffle-order
+  independent), never a global orderBy: descending node_id == document
+  order (SURVEY.md §1.b; get_text.py:36-37).
+- Model weights are a SparkContext broadcast, opened once per python
+  worker (the twin of one checkpoint load per GPU,
+  src/scraper/inference.py:46-74).
+- ``salt_by_host`` spreads zipf-skewed hosts across partitions before
+  wide stages; AQE skew-join handles the rest (session.py).
+
+``extract_fused`` is the zero-shuffle variant: parse+chunk+score+
+assemble per page inside one mapInPandas (the reference's
+embarrassingly-parallel Pool(64) topology, src/warc/build.py:192-193) —
+used when no per-stage materialization is needed; plans are verified
+equal by tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import config as C
+from ..functions.text import strip_ws_py
+from ..html_parser import parse_nodes as _parse_html
+from ..model import load_weights, score_chunks
+from ..tokenizer import tokenize
+
+NODES_DDL = (
+    "url string, seq_pos int, node_id int, tag string, text string, "
+    "token_ids array<int>, chunk_id int, is_text_node boolean"
+)
+CHUNKS_DDL = (
+    "url string, chunk_id int, "
+    "nodes array<struct<seq_pos:int,node_id:int,token_ids:array<int>,text:string>>"
+)
+SCORED_DDL = "url string, node_id int, text string, scores array<float>"
+EXTRACTED_DDL = "url string, text string"
+
+
+def _page_sequence(html_bytes: bytes) -> list[dict]:
+    """One page -> its model-sequence rows (pure Python, shared with oracle).
+
+    Reference semantics (src/warc/build.py:74-98): iterate nodes in
+    document order; text nodes join the sequence iff stripped text is
+    non-empty; <ol>/<dl>/<table> element nodes always join (the CSV
+    text-node side additionally requires non-empty, build.py:155-165 —
+    captured by ``is_text_node``).
+    """
+    try:
+        html = html_bytes.decode("utf-8", errors="strict")
+    except (UnicodeDecodeError, AttributeError):
+        # F2: undecodable page -> dropped (src/warc/build.py:124-131)
+        return []
+    rows = []
+    seq_pos = 0
+    for node in _parse_html(html):
+        stripped = strip_ws_py(node.text)
+        if node.is_text:
+            if not stripped:
+                continue
+            is_text_node = True
+        elif node.tag in C.SEQ_ELEMENT_TAGS:
+            is_text_node = len(stripped) > 0
+        else:
+            continue
+        rows.append(
+            {
+                "seq_pos": seq_pos,
+                "node_id": node.node_id,
+                "tag": node.tag,
+                "text": stripped,
+                "token_ids": tokenize(stripped),
+                "chunk_id": seq_pos // C.CHUNK_SIZE,
+                "is_text_node": is_text_node,
+            }
+        )
+        seq_pos += 1
+    return rows
+
+
+def parse_nodes(web_pages: DataFrame) -> DataFrame:
+    """web_pages -> node-level DataFrame (T1/T2 as one Arrow UDTF).
+
+    Narrow: one input page row expands to its node rows inside the same
+    task; no shuffle. Only sequence members are emitted — whitespace
+    spans and structural divs die here, before any exchange.
+    """
+    cols = web_pages.select("url", "html")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for row in _page_sequence(html):
+                    row["url"] = url
+                    out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "url", "seq_pos", "node_id", "tag", "text",
+                    "token_ids", "chunk_id", "is_text_node",
+                ],
+            )
+
+    return cols.mapInPandas(parse, schema=NODES_DDL)
+
+
+def text_nodes(nodes: DataFrame) -> DataFrame:
+    """The reference's text-node CSV side (src/warc/build.py:155-165)."""
+    return nodes.filter(F.col("is_text_node")).select(
+        "url", F.col("node_id").alias("text_node_id"), "text"
+    )
+
+
+def chunk_nodes(nodes: DataFrame) -> DataFrame:
+    """Nodes -> one row per (url, chunk_id) with ordered node structs (T3).
+
+    array_sort inside the agg restores document order regardless of
+    shuffle arrival order — the plan stays order-agnostic.
+    """
+    return nodes.groupBy("url", "chunk_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("seq_pos", "node_id", "token_ids", "text"))
+        ).alias("nodes")
+    )
+
+
+_WEIGHTS_BC = {}
+
+
+def _weights_broadcast(spark: SparkSession):
+    key = id(spark)
+    if key not in _WEIGHTS_BC:
+        _WEIGHTS_BC[key] = spark.sparkContext.broadcast(load_weights())
+    return _WEIGHTS_BC[key]
+
+
+def score_nodes(spark: SparkSession, chunks: DataFrame) -> DataFrame:
+    """Chunks -> per-node scores (M1): iterator-of-pandas mapInPandas,
+    weights opened once per task from the broadcast, NumPy forward pass,
+    one output row per real node with all 6 task scores."""
+    bc = _weights_broadcast(spark)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            chunk_tokens = [
+                [list(n["token_ids"]) for n in nodes] for nodes in pdf["nodes"]
+            ]
+            scores = score_chunks(chunk_tokens, w)  # [n, 384, 6]
+            urls, node_ids, texts, out_scores = [], [], [], []
+            for i, nodes in enumerate(pdf["nodes"]):
+                n_real = min(len(nodes), C.CHUNK_SIZE)
+                for j in range(n_real):
+                    urls.append(pdf["url"].iloc[i])
+                    node_ids.append(nodes[j]["node_id"])
+                    texts.append(nodes[j]["text"])
+                    out_scores.append(scores[i, j].tolist())
+            yield pd.DataFrame(
+                {"url": urls, "node_id": node_ids, "text": texts, "scores": out_scores}
+            )
+
+    return chunks.mapInPandas(score, schema=SCORED_DDL)
+
+
+def kept_nodes(
+    scored: DataFrame,
+    task: str = "Primary",
+    threshold: float = C.PRIMARY_THRESHOLD,
+) -> DataFrame:
+    """F6 threshold + F9 node-0 scrub + fused J1/F7 (text!='' == inner
+    join against text_nodes, see module docstring)."""
+    idx = C.TASKS.index(task)
+    return scored.filter(
+        (F.col("scores")[idx] > F.lit(threshold))
+        & (F.col("node_id") != 0)
+        & (F.col("text") != "")
+    )
+
+
+def ordered_concat_expr():
+    """A1 — THE flagship agg: descending-node_id ''-join, shuffle-safe."""
+    return F.array_join(
+        F.transform(
+            F.reverse(F.array_sort(F.collect_list(F.struct("node_id", "text")))),
+            lambda x: x["text"],
+        ),
+        "",
+    )
+
+
+def assemble_text(kept: DataFrame) -> DataFrame:
+    return kept.groupBy("url").agg(ordered_concat_expr().alias("text"))
+
+
+def extract_pipeline(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    threshold: float = C.PRIMARY_THRESHOLD,
+) -> DataFrame:
+    """web_pages -> extracted(url, text). The staged two-shuffle plan."""
+    nodes = parse_nodes(web_pages)
+    chunks = chunk_nodes(nodes)
+    scored = score_nodes(spark, chunks)
+    return assemble_text(kept_nodes(scored, threshold=threshold))
+
+
+# ---------------------------------------------------------------- fused path
+
+
+def extract_fused(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    threshold: float = C.PRIMARY_THRESHOLD,
+) -> DataFrame:
+    """Zero-shuffle variant: the whole per-page chain inside one Arrow UDF.
+
+    Chunks are still batched *across* pages within each Arrow batch so
+    the NumPy forward pass sees full micro-batches — the same batching
+    economy as the reference's DataLoader(batch_size=256).
+    """
+    bc = _weights_broadcast(spark)
+    thr = float(threshold)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bc.value
+        for pdf in batches:
+            page_rows = [(u, _page_sequence(h)) for u, h in zip(pdf["url"], pdf["html"])]
+            # flatten all chunks in this Arrow batch
+            chunk_tokens, chunk_meta = [], []  # meta: (page_idx, [rows])
+            for pi, (_, rows) in enumerate(page_rows):
+                for ci in range(0, len(rows), C.CHUNK_SIZE):
+                    chunk = rows[ci : ci + C.CHUNK_SIZE]
+                    chunk_tokens.append([r["token_ids"] for r in chunk])
+                    chunk_meta.append((pi, chunk))
+            scores = score_chunks(chunk_tokens, w)
+            kept: dict[int, list[tuple[int, str]]] = {}
+            for k, (pi, chunk) in enumerate(chunk_meta):
+                prim = scores[k, : len(chunk), 0]
+                for j, r in enumerate(chunk):
+                    if prim[j] > thr and r["node_id"] != 0 and r["text"]:
+                        kept.setdefault(pi, []).append((r["node_id"], r["text"]))
+            urls, texts = [], []
+            for pi, (url, _) in enumerate(page_rows):
+                if pi in kept:
+                    parts = sorted(kept[pi], reverse=True)
+                    urls.append(url)
+                    texts.append("".join(t for _, t in parts))
+            yield pd.DataFrame({"url": urls, "text": texts})
+
+    return web_pages.select("url", "html").mapInPandas(run, schema=EXTRACTED_DDL)
+
+
+# ------------------------------------------------------- parity-shaped views
+
+
+def predictions(kept: DataFrame, task: str = "Primary") -> DataFrame:
+    """Reference TSV shape (Url, TextNodeId, Task) — inference.py:143-144."""
+    return kept.select(
+        "url", F.col("node_id").alias("text_node_id"), F.lit(task).alias("task")
+    )
+
+
+def threshold_sweep(scored: DataFrame, thresholds=C.THRESHOLD_SWEEP) -> DataFrame:
+    """M2 — scores computed once, every (url, node, task, θ) prediction
+    materialized by cheap native explodes (same economy as
+    src/scraper/inference.py:78,109-128: one forward pass, 48 filters)."""
+    tasks = F.array(*[F.lit(t) for t in C.TASKS])
+    thrs = F.array(*[F.lit(float(t)) for t in thresholds])
+    return (
+        scored.filter(F.col("node_id") != 0)
+        .select(
+            "url", "node_id",
+            F.posexplode(F.col("scores")).alias("task_idx", "score"),
+        )
+        .withColumn("task", tasks[F.col("task_idx")])
+        .select("url", "node_id", "task", F.explode(thrs).alias("threshold"), "score")
+        .filter(F.col("score") > F.col("threshold"))
+        .select("url", "node_id", "task", "threshold")
+    )
+
+
+def threshold_sweep_counts(scored: DataFrame, thresholds=C.THRESHOLD_SWEEP) -> DataFrame:
+    """Per (task, θ): number of predicted nodes — one pass over scores."""
+    tasks = F.array(*[F.lit(t) for t in C.TASKS])
+    per_task = (
+        scored.filter(F.col("node_id") != 0)
+        .select(
+            "url", "node_id",
+            F.posexplode(F.col("scores")).alias("task_idx", "score"),
+        )
+        .withColumn("task", tasks[F.col("task_idx")])
+    )
+    thr_rows = [(float(t),) for t in thresholds]
+    agg = [
+        F.sum(F.when(F.col("score") > F.lit(t), 1).otherwise(0)).alias(f"n_{str(t).replace('.', '_')}")
+        for t, in thr_rows
+    ]
+    return per_task.groupBy("task").agg(*agg)

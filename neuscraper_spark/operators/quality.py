@@ -1,0 +1,386 @@
+"""Quality-filter chain (north-rule stages, BASELINE.json:14).
+
+fastText-style language ID, KenLM-style n-gram perplexity, C4/Gopher
+heuristic rules, and regex PII/toxicity scrubbing — none of which exist
+in the reference (nearest analogue: the pycld2 en-filter at
+src/warc/build.py:133-142); all built from public-knowledge designs.
+
+Every stage is a pure ``DataFrame -> DataFrame`` function. Heuristics
+and scrubbing are Catalyst-native expressions (zero Python in the hot
+path); langid and perplexity are Arrow-vectorized ``pandas_udf``s with
+broadcast model tables. Each has a ``*_py`` twin with identical
+semantics used by the single-process oracle (oracle.py) — property
+tests assert twin agreement.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# F3 [north-rule] — fastText-style language ID
+#
+# Design (public: Joulin et al. 2016, "Bag of Tricks"): hash character
+# n-grams into a fixed bucket space, average their embeddings, linear
+# classify. Here the "trained" per-language weight rows are derived
+# deterministically from seed word lists (corpus.py WORDS) — profile =
+# L2-normalized bucket-count vector of the language's char trigrams.
+# Prediction = argmax cosine; confidence = softmax over similarities.
+# --------------------------------------------------------------------------
+
+LANGID_BUCKETS = 4096
+LANGID_UNKNOWN = "und"
+
+
+def _char_ngrams(text: str, n: int = 3):
+    padded = f" {text.lower()} "
+    for i in range(len(padded) - n + 1):
+        yield padded[i : i + n]
+
+
+def _bucket(gram: str) -> int:
+    return zlib.crc32(gram.encode("utf-8")) % LANGID_BUCKETS
+
+
+def build_langid_profiles() -> tuple[list[str], np.ndarray]:
+    """(langs, [n_langs, BUCKETS] float32 L2-normalized profile matrix)."""
+    from ..corpus import WORDS
+
+    langs = sorted(WORDS)
+    mat = np.zeros((len(langs), LANGID_BUCKETS), dtype=np.float32)
+    for li, lang in enumerate(langs):
+        for word in WORDS[lang]:
+            for gram in _char_ngrams(word):
+                mat[li, _bucket(gram)] += 1.0
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return langs, mat / np.maximum(norms, 1e-9)
+
+
+_PROFILES: tuple[list[str], np.ndarray] | None = None
+
+
+def _profiles() -> tuple[list[str], np.ndarray]:
+    global _PROFILES
+    if _PROFILES is None:
+        _PROFILES = build_langid_profiles()
+    return _PROFILES
+
+
+def langid_scores_py(text: str) -> tuple[str, float]:
+    langs, mat = _profiles()
+    vec = np.zeros(LANGID_BUCKETS, dtype=np.float32)
+    for gram in _char_ngrams(text or ""):
+        vec[_bucket(gram)] += 1.0
+    n = float(np.linalg.norm(vec))
+    if n == 0.0:
+        return LANGID_UNKNOWN, 0.0
+    sims = mat @ (vec / n)
+    exp = np.exp((sims - sims.max()) * 16.0)
+    probs = exp / exp.sum()
+    best = int(np.argmax(sims))
+    return langs[best], round(float(probs[best]), 6)
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``lang_pred`` and ``lang_conf`` via an Arrow-vectorized UDF.
+
+    The profile matrix is tiny and is captured in the UDF closure —
+    serialized once per task via the same broadcast mechanics Spark uses
+    for closures; for a real fastText-sized model use
+    ``sc.broadcast`` explicitly (see extract.score_nodes for the pattern).
+    """
+    langs, mat = _profiles()
+
+    @F.pandas_udf("struct<lang_pred:string,lang_conf:double>")
+    def _langid(texts: pd.Series) -> pd.DataFrame:
+        out_lang, out_conf = [], []
+        for t in texts:
+            lang, conf = langid_scores_py(t or "")
+            out_lang.append(lang)
+            out_conf.append(conf)
+        return pd.DataFrame({"lang_pred": out_lang, "lang_conf": out_conf})
+
+    res = df.withColumn("_lid", _langid(F.col(text_col)))
+    return res.withColumn("lang_pred", F.col("_lid.lang_pred")).withColumn(
+        "lang_conf", F.col("_lid.lang_conf")
+    ).drop("_lid")
+
+
+# --------------------------------------------------------------------------
+# C9 [north-rule] — KenLM-style n-gram perplexity
+#
+# Bigram LM with stupid backoff (Brants et al. 2007) over a seed corpus
+# generated deterministically from corpus.gen_pages(seed=7). Count
+# tables are plain dicts — broadcastable constant state.
+# --------------------------------------------------------------------------
+
+PPL_SEED = 7
+PPL_TRAIN_PAGES = 64
+PPL_BACKOFF = 0.4
+_WORD_RE = re.compile(r"[a-zà-ÿ']+")
+
+
+def build_ppl_tables_from_texts(texts) -> tuple[dict[str, int], dict[tuple[str, str], int], int]:
+    """Fit the bigram LM on an in-memory text sample (deterministic)."""
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    total = 0
+    for text in texts:
+        toks = _WORD_RE.findall((text or "").lower())
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+            total += 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    return uni, bi, total
+
+
+def build_ppl_tables() -> tuple[dict[str, int], dict[tuple[str, str], int], int]:
+    from ..corpus import gen_pages
+
+    return build_ppl_tables_from_texts(
+        page["text"] for page in gen_pages(PPL_SEED, PPL_TRAIN_PAGES)
+    )
+
+
+_PPL_TABLES: tuple[dict, dict, int] | None = None
+
+
+def _ppl_tables():
+    global _PPL_TABLES
+    if _PPL_TABLES is None:
+        _PPL_TABLES = build_ppl_tables()
+    return _PPL_TABLES
+
+
+def ppl_py(text: str, tables=None) -> float:
+    uni, bi, total = tables if tables is not None else _ppl_tables()
+    toks = _WORD_RE.findall((text or "").lower())
+    if not toks:
+        return float(10**9)
+    vocab = len(uni) + 1
+    floor = 1.0 / (total + vocab)
+    logp = 0.0
+    prev = None
+    for t in toks:
+        if prev is not None and (prev, t) in bi:
+            p = bi[(prev, t)] / uni[prev]
+        elif t in uni:
+            p = PPL_BACKOFF * uni[t] / total
+        else:
+            p = PPL_BACKOFF * floor
+        logp += math.log(p)
+        prev = t
+    return round(float(math.exp(-logp / len(toks))), 4)
+
+
+def with_perplexity(spark, df: DataFrame, text_col: str = "text", tables=None) -> DataFrame:
+    """Adds ``ppl`` via a pandas_udf over explicitly broadcast count tables.
+
+    ``tables`` defaults to the seed-corpus LM; pass the output of
+    ``build_ppl_tables_from_texts`` to score against a domain sample.
+    """
+    bc = spark.sparkContext.broadcast(tables if tables is not None else _ppl_tables())
+
+    @F.pandas_udf("double")
+    def _ppl(texts: pd.Series) -> pd.Series:
+        tables = bc.value
+        return texts.map(lambda t: ppl_py(t, tables))
+
+    return df.withColumn("ppl", _ppl(F.col(text_col)))
+
+
+# --------------------------------------------------------------------------
+# F11 [north-rule] — C4/Gopher-style heuristic rules, pure Catalyst.
+# Public sources: Raffel et al. 2020 (C4), Rae et al. 2021 (Gopher §A1.1).
+# Thresholds live here so the oracle twin shares them.
+# --------------------------------------------------------------------------
+
+RULES = {
+    "min_words": 20,
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "max_symbol_word_ratio": 0.1,
+    "min_alpha_word_ratio": 0.7,
+    "min_stopword_hits": 2,
+}
+STOPWORDS = ("the", "a", "be", "to", "of", "and", "that", "have", "with", "in",
+             "is", "it", "on", "at", "by", "der", "und", "die", "le", "la",
+             "de", "el", "en", "que")
+
+
+def _words(col: Column) -> Column:
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != F.lit(""))
+
+
+def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds per-rule booleans + ``quality_pass`` as native expressions —
+    whole-stage-codegen'd, no Python (SURVEY.md §2 F11)."""
+    words = _words(F.col(text_col))
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = total_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    n_symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"[#…]|\.\.\.", ""))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-zÀ-ÿ]")))
+    lowered = F.lower(F.col(text_col))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+            lambda s: F.array_contains(F.split(lowered, r"[^a-zà-ÿ']+"), s),
+        )
+    )
+    r = RULES
+    df = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_wl, 4))
+        .withColumn(
+            "rule_word_count",
+            (n_words >= r["min_words"]) & (n_words <= r["max_words"]),
+        )
+        .withColumn(
+            "rule_mean_word_len",
+            (mean_wl >= r["min_mean_word_len"]) & (mean_wl <= r["max_mean_word_len"]),
+        )
+        .withColumn(
+            "rule_symbol_ratio",
+            n_symbols.cast("double")
+            <= F.lit(r["max_symbol_word_ratio"]) * F.greatest(n_words, F.lit(1)),
+        )
+        .withColumn(
+            "rule_alpha_ratio",
+            alpha_words.cast("double")
+            >= F.lit(r["min_alpha_word_ratio"]) * F.greatest(n_words, F.lit(1)),
+        )
+        .withColumn("rule_stopwords", stop_hits >= r["min_stopword_hits"])
+    )
+    return df.withColumn(
+        "quality_pass",
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_symbol_ratio")
+        & F.col("rule_alpha_ratio")
+        & F.col("rule_stopwords"),
+    )
+
+
+def heuristics_py(text: str) -> dict:
+    """Python twin of with_heuristics (same thresholds, same outputs)."""
+    words = [w for w in re.split(r"\s+", (text or "").strip()) if w]
+    n_words = len(words)
+    total_chars = sum(len(w) for w in words)
+    mean_wl = total_chars / max(n_words, 1)
+    n_symbols = len(re.findall(r"[#…]|\.\.\.", text or ""))
+    alpha_words = sum(1 for w in words if re.search(r"[A-Za-zÀ-ÿ]", w))
+    toks = set(re.split(r"[^a-zà-ÿ']+", (text or "").lower()))
+    stop_hits = sum(1 for s in STOPWORDS if s in toks)
+    r = RULES
+    out = {
+        "n_words": n_words,
+        "mean_word_len": round(mean_wl, 4),
+        "rule_word_count": r["min_words"] <= n_words <= r["max_words"],
+        "rule_mean_word_len": r["min_mean_word_len"] <= mean_wl <= r["max_mean_word_len"],
+        "rule_symbol_ratio": float(n_symbols) <= r["max_symbol_word_ratio"] * max(n_words, 1),
+        "rule_alpha_ratio": float(alpha_words) >= r["min_alpha_word_ratio"] * max(n_words, 1),
+        "rule_stopwords": stop_hits >= r["min_stopword_hits"],
+    }
+    out["quality_pass"] = all(
+        out[k] for k in (
+            "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+            "rule_alpha_ratio", "rule_stopwords",
+        )
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# F10 [north-rule] — PII scrub + toxicity flag, pure Catalyst.
+# Pattern strings are written to the common subset of Java and Python
+# regex so the oracle twin is byte-compatible.
+# --------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("cc", r"\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b", "<CC>"),
+    ("phone", r"\+?[0-9]{1,3}[ -.][0-9]{3}[ -.][0-9]{3,4}[ -.]?[0-9]{0,4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+TOXIC_TERMS = ("badword1", "badword2", "slur1", "slur2")  # placeholder blocklist
+_TOXIC_RE = r"(?i)\b(" + "|".join(TOXIC_TERMS) + r")\b"
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``scrubbed_text``, ``pii_count``, ``toxic_hits``, ``toxicity_pass``."""
+    scrubbed = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    pii_count = F.lit(0)
+    for _, pat, _ in PII_PATTERNS:
+        pii_count = pii_count + F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+    toxic_hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_TOXIC_RE), F.lit(1)))
+    return (
+        df.withColumn("scrubbed_text", scrubbed)
+        .withColumn("pii_count", pii_count)
+        .withColumn("toxic_hits", toxic_hits)
+        .withColumn("toxicity_pass", toxic_hits == 0)
+    )
+
+
+def pii_scrub_py(text: str) -> dict:
+    scrubbed = text or ""
+    pii_count = 0
+    for _, pat, repl in PII_PATTERNS:
+        pii_count += len(re.findall(pat, text or ""))
+        scrubbed = re.sub(pat, repl, scrubbed)
+    toxic_hits = len(re.findall(_TOXIC_RE, text or ""))
+    return {
+        "scrubbed_text": scrubbed,
+        "pii_count": pii_count,
+        "toxic_hits": toxic_hits,
+        "toxicity_pass": toxic_hits == 0,
+    }
+
+
+# --------------------------------------------------------------------------
+# keep/drop combiner
+# --------------------------------------------------------------------------
+
+PPL_MAX = 5_000.0
+KEEP_LANGS = ("en",)
+
+
+def with_keep(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "keep",
+        F.col("lang_pred").isin(*KEEP_LANGS)
+        & F.col("quality_pass")
+        & F.col("toxicity_pass")
+        & (F.col("ppl") <= PPL_MAX),
+    )
+
+
+def keep_py(lang_pred: str, quality_pass: bool, toxicity_pass: bool, ppl: float) -> bool:
+    return (lang_pred in KEEP_LANGS) and quality_pass and toxicity_pass and ppl <= PPL_MAX
+
+
+def quality_chain(spark, df: DataFrame, text_col: str = "text", ppl_tables=None) -> DataFrame:
+    """langid -> perplexity -> heuristics -> PII scrub -> keep."""
+    df = with_langid(df, text_col)
+    df = with_perplexity(spark, df, text_col, tables=ppl_tables)
+    df = with_heuristics(df, text_col)
+    df = with_pii_scrub(df, text_col)
+    return with_keep(df)

@@ -1,0 +1,532 @@
+"""Driver-contract query battery: SURVEY.md §2 operators over /root/testdata.
+
+Each entry is (spark_fn, duckdb_sql). The driver runs both at sf=0.01 and
+compares row-count + schema + order-insensitive value hash, so every
+computed column is aliased identically on both sides and doubles are
+rounded to fixed decimals before leaving the query.
+
+Grouped by SURVEY.md §2 operator ids (F=filters, T=transforms, M=model,
+J=joins, A=aggregations, W=windows/sorts, U=set ops, C=scalar functions,
+Q=[north-rule] quality ops, D=dedup, S=similarity, X=text analysis).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# F — projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f1_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS price
+    FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
+    """,
+)
+def f1_filter_project(spark, sf_dir):
+    # F1/F8: predicate + projection, pushed to the parquet scan by Catalyst
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30))
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 4).alias("price"))
+    )
+
+
+@query(
+    "f6_threshold",
+    "SELECT event_id, round(value, 4) AS value FROM events WHERE value > 90.0",
+)
+def f6_threshold(spark, sf_dir):
+    # F6: score-threshold predicate (θ analogue of commoncrawl.py:134)
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") > 90.0)
+        .select("event_id", F.round("value", 4).alias("value"))
+    )
+
+
+@query(
+    "f7_null_drop",
+    "SELECT doc_id, lang FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL",
+)
+def f7_null_drop(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .na.drop(subset=["text", "lang"])
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "f9_zero_scrub",
+    """
+    SELECT l_orderkey, l_partkey FROM lineitem
+    WHERE l_partkey % 100 != 0
+    """,
+)
+def f9_zero_scrub(spark, sf_dir):
+    # F9 shape: sentinel-id scrub (inference.py:116-118) as a native filter
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_partkey") % 100 != 0).select("l_orderkey", "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# J — joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_left_join",
+    """
+    SELECT o_orderkey, round(o_totalprice, 4) AS total, c_name, c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def j1_left_join(spark, sf_dir):
+    # J1: the predictions ⟕ text_nodes equi-join (get_text.py:6-8); the
+    # small build side is explicitly broadcast — no shuffle of the big side.
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("total"),
+            "c_name",
+            "c_mktsegment",
+        )
+    )
+
+
+@query(
+    "j2_left_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j2_left_anti(spark, sf_dir):
+    # J2: missing-url injection shape (run_eval.py:13-22)
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "j3_semi_join",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+)
+def j3_semi_join(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "j3_gold_lookup",
+    """
+    SELECT d.doc_id, d.lang, s.n_docs
+    FROM documents d
+    LEFT JOIN (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) s
+      ON d.source = s.source
+    """,
+)
+def j3_gold_lookup(spark, sf_dir):
+    # J3: per-key grouped dim joined back (evaluator.py:47-59 shape)
+    docs = _t(spark, sf_dir, "documents")
+    dim = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return docs.alias("d").join(F.broadcast(dim), "source", "left").select(
+        "doc_id", "lang", "n_docs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A — aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_ordered_concat",
+    """
+    SELECT source, string_agg(text, '' ORDER BY doc_id DESC) AS assembled
+    FROM documents GROUP BY source
+    """,
+)
+def a1_ordered_concat(spark, sf_dir):
+    # A1 — THE flagship agg: ordered ''-concat, descending id == document
+    # order (get_text.py:36-37). array_sort inside the agg keeps it
+    # shuffle-order independent; no orderBy-before-groupBy antipattern.
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.reverse(F.array_sort(F.collect_list(F.struct("doc_id", "text")))),
+                    lambda x: x["text"],
+                ),
+                "",
+            ).alias("assembled")
+        )
+    )
+
+
+@query(
+    "a2_distinct_set",
+    """
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def a2_distinct_set(spark, sf_dir):
+    # A2: per-key set-union agg (inference.py:126-128) — the two-phase
+    # partial/final distinct is exactly the reference's chunk->url union.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+@query(
+    "a3_grouped_partition",
+    """
+    SELECT lang,
+           count(CASE WHEN n_chars >= 300 THEN 1 END) AS n_long,
+           count(CASE WHEN n_chars <  300 THEN 1 END) AS n_short
+    FROM documents GROUP BY lang
+    """,
+)
+def a3_grouped_partition(spark, sf_dir):
+    # A3: positive/negative list partition per key (evaluator.py:47-59),
+    # scalarized to counts for a stable cross-engine hash.
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("n_chars") >= 300, 1)).alias("n_long"),
+            F.count(F.when(F.col("n_chars") < 300, 1)).alias("n_short"),
+        )
+    )
+
+
+@query(
+    "a4_a5_metrics",
+    """
+    WITH conf AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = 'click'  AND value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN event_type != 'click' AND value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        CAST(sum(CASE WHEN event_type != 'click' AND value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN event_type = 'click'  AND value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM events)
+    SELECT tp, tn, fp, fn,
+           round(tp / (tp + fp), 6) AS precision,
+           round(tp / (tp + fn), 6) AS recall,
+           round((tp + tn) / (tp + tn + fp + fn), 6) AS accuracy,
+           round((2 * tp) / (2 * tp + fp + fn), 6) AS fscore
+    FROM conf
+    """,
+)
+def a4_a5_metrics(spark, sf_dir):
+    # A4 micro-summed confusion counts + A5 metric finalizer
+    # (evaluator.py:27-44) over a synthetic decision rule.
+    ev = _t(spark, sf_dir, "events")
+    pos = F.col("event_type") == "click"
+    hit = F.col("value") > 50
+    conf = ev.agg(
+        F.sum(F.when(pos & hit, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~pos & ~hit, 1).otherwise(0)).alias("tn"),
+        F.sum(F.when(~pos & hit, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(pos & ~hit, 1).otherwise(0)).alias("fn"),
+    )
+    tp, tn, fp, fn = (F.col(c).cast("double") for c in ("tp", "tn", "fp", "fn"))
+    return conf.select(
+        "tp", "tn", "fp", "fn",
+        F.round(tp / (tp + fp), 6).alias("precision"),
+        F.round(tp / (tp + fn), 6).alias("recall"),
+        F.round((tp + tn) / (tp + tn + fp + fn), 6).alias("accuracy"),
+        F.round((2 * tp) / (2 * tp + fp + fn), 6).alias("fscore"),
+    )
+
+
+@query("a6_distinct", "SELECT DISTINCT lang, source FROM documents")
+def a6_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+@query("a7_count", "SELECT count(*) AS n_rows FROM lineitem")
+def a7_count(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# W — windows / sorts / sequence numbering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w2_row_number",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, rn FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             row_number() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+      FROM lineitem) WHERE rn <= 3
+    """,
+)
+def w2_row_number(spark, sf_dir):
+    # W2/T5: rank within key — the rebuild's sequence-numbering primitive
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "rn")
+    )
+
+
+@query(
+    "w3_fixed_chunk",
+    """
+    SELECT chunk_id, count(*) AS n, min(rn) AS first_rn, max(rn) AS last_rn FROM (
+      SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 384) AS INT) AS chunk_id,
+             row_number() OVER (ORDER BY event_id) AS rn
+      FROM events) GROUP BY chunk_id
+    """,
+)
+def w3_fixed_chunk(spark, sf_dir):
+    # W3/T3: fixed-size positional chunking — floor(seq/384), the
+    # reference's _chunk_nodes (build.py:25-35)
+    w = Window.orderBy("event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("chunk_id", F.floor((F.col("rn") - 1) / 384).cast("int"))
+        .groupBy("chunk_id")
+        .agg(F.count("*").alias("n"), F.min("rn").alias("first_rn"), F.max("rn").alias("last_rn"))
+    )
+
+
+@query(
+    "w4_slice_limit",
+    """
+    SELECT vec_id, round(embedding[1], 4) AS e0, round(embedding[2], 4) AS e1,
+           len(embedding) AS dim
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def w4_slice_limit(spark, sf_dir):
+    # W4: per-row truncation (processing.py:44-47), scalarized
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.round(F.col("embedding")[0], 4).cast("double").alias("e0"),
+        F.round(F.col("embedding")[1], 4).cast("double").alias("e1"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U — set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_union",
+    """
+    SELECT event_type, count(*) AS n FROM (
+      SELECT event_type FROM events WHERE value > 95
+      UNION ALL
+      SELECT event_type FROM events WHERE value < 5
+    ) GROUP BY event_type
+    """,
+)
+def u1_union(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.filter(F.col("value") > 95).select("event_type")
+    lo = ev.filter(F.col("value") < 5).select("event_type")
+    return hi.unionByName(lo).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "u2_except",
+    """
+    SELECT lang FROM (SELECT DISTINCT lang FROM documents)
+    EXCEPT SELECT 'en' AS lang
+    """,
+)
+def u2_except(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("lang").distinct()
+    en = docs.sparkSession.createDataFrame([("en",)], "lang string")
+    return docs.exceptAll(en)
+
+
+# ---------------------------------------------------------------------------
+# C — scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c1_strip_ws",
+    """
+    SELECT doc_id,
+           regexp_replace(concat(' \t', text, '\r '),
+                          '^[\r\n\t\\x{00A0} ]+|[\r\n\t\\x{00A0} ]+$', '', 'g') AS stripped
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def c1_strip_ws(spark, sf_dir):
+    # C1: the byte-identity strip charset (build.py:85) — wrap the text in
+    # junk whitespace first so the strip actually has work to do.
+    from .functions.text import strip_ws
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            strip_ws(F.concat(F.lit(" \t"), F.col("text"), F.lit("\r "))).alias("stripped"),
+        )
+    )
+
+
+@query(
+    "c2_unescape",
+    """
+    SELECT doc_id,
+           replace(replace(replace(concat('a#N#b#TAB#', substr(text, 1, 20), '#R#'),
+             '#N#', chr(10)), '#TAB#', chr(9)), '#R#', chr(13)) AS unescaped
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def c2_unescape(spark, sf_dir):
+    from .functions.text import unescape_gold
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            unescape_gold(
+                F.concat(F.lit("a#N#b#TAB#"), F.substring("text", 1, 20), F.lit("#R#"))
+            ).alias("unescaped"),
+        )
+    )
+
+
+@query(
+    "c3_contains",
+    """
+    SELECT doc_id, (instr(text, 'spark') > 0) AS has_needle
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def c3_contains(spark, sf_dir):
+    # C3: substring containment — the eval's classification primitive
+    # (evaluator.py:77,87)
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", (F.instr("text", "spark") > 0).alias("has_needle"))
+    )
+
+
+@query(
+    "c4_regexp_extract",
+    """
+    SELECT event_id, regexp_extract(props, '"device":\\s*"([a-z]+)"', 1) AS device
+    FROM events WHERE event_id < 500
+    """,
+)
+def c4_regexp_extract(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            F.regexp_extract(F.col("props"), r'"device":\s*"([a-z]+)"', 1).alias("device"),
+        )
+    )
+
+
+@query(
+    "c7_cast",
+    """
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_int
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def c7_cast(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", F.col("l_quantity").cast("int").alias("qty_int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped (batch equivalent): tumbling window over events
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def t_tumbling_window(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )

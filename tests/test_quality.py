@@ -1,0 +1,105 @@
+"""Quality chain: Spark stages vs pure-Python twins (north-rule ops)."""
+
+import pandas as pd
+import pytest
+
+from neuscraper_spark.operators import quality as Q
+
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog and that is all of it. " * 4,
+    "Der schnelle braune Fuchs springt über den faulen Hund und das ist alles. " * 4,
+    "Le renard brun rapide saute par dessus le chien paresseux et c'est tout. " * 4,
+    "El rápido zorro marrón salta sobre el perro perezoso y eso es todo. " * 4,
+    "short",
+    "",
+    "### ### ### ### ### ### ### ### ### ### ### ### ### ### ### ### ### ### ### ###",
+    "Contact me at john.doe@example.com or call +1 555-123-4567 now. " * 5,
+    "My SSN is 123-45-6789 and my card is 4111 1111 1111 1111 and IP 192.168.0.1. " * 4,
+    "This text mentions badword1 which should be flagged as toxic content here. " * 4,
+]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    pdf = pd.DataFrame({"url": [f"u{i}" for i in range(len(TEXTS))], "text": TEXTS})
+    return spark.createDataFrame(pdf)
+
+
+def test_langid_twins_agree(spark, df):
+    got = Q.with_langid(df).select("url", "lang_pred", "lang_conf").toPandas()
+    for _, row in got.iterrows():
+        lang, conf = Q.langid_scores_py(TEXTS[int(row["url"][1:])])
+        assert row["lang_pred"] == lang
+        assert abs(row["lang_conf"] - conf) < 1e-9
+
+
+def test_langid_detects_languages():
+    assert Q.langid_scores_py(TEXTS[0])[0] == "en"
+    assert Q.langid_scores_py(TEXTS[1])[0] == "de"
+    assert Q.langid_scores_py(TEXTS[2])[0] == "fr"
+    assert Q.langid_scores_py(TEXTS[3])[0] == "es"
+    assert Q.langid_scores_py("")[0] == Q.LANGID_UNKNOWN
+
+
+def test_ppl_twins_agree(spark, df):
+    got = Q.with_perplexity(spark, df).select("url", "ppl").toPandas()
+    for _, row in got.iterrows():
+        assert row["ppl"] == Q.ppl_py(TEXTS[int(row["url"][1:])])
+
+
+def test_ppl_orders_fluency():
+    fluent = "the time of the word and the way of the thing " * 8
+    gibberish = "zxqv wvnm qqpl mxzt kjhg vbnm " * 8
+    assert Q.ppl_py(fluent) < Q.ppl_py(gibberish)
+
+
+def test_heuristics_twins_agree(spark, df):
+    cols = [
+        "n_words", "mean_word_len", "rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_alpha_ratio", "rule_stopwords", "quality_pass",
+    ]
+    got = Q.with_heuristics(df).select("url", *cols).toPandas()
+    for _, row in got.iterrows():
+        want = Q.heuristics_py(TEXTS[int(row["url"][1:])])
+        for c in cols:
+            assert row[c] == want[c], (row["url"], c, row[c], want[c])
+
+
+def test_heuristics_reject_degenerate():
+    assert not Q.heuristics_py("short")["quality_pass"]
+    assert not Q.heuristics_py(TEXTS[6])["quality_pass"]  # symbol spam
+    assert Q.heuristics_py(TEXTS[0])["quality_pass"]
+
+
+def test_pii_scrub_twins_agree(spark, df):
+    cols = ["scrubbed_text", "pii_count", "toxic_hits", "toxicity_pass"]
+    got = Q.with_pii_scrub(df).select("url", *cols).toPandas()
+    for _, row in got.iterrows():
+        want = Q.pii_scrub_py(TEXTS[int(row["url"][1:])])
+        for c in cols:
+            assert row[c] == want[c], (row["url"], c, row[c], want[c])
+
+
+def test_pii_scrub_replaces_everything():
+    out = Q.pii_scrub_py(TEXTS[8])
+    assert "<SSN>" in out["scrubbed_text"] and "<CC>" in out["scrubbed_text"]
+    assert "123-45-6789" not in out["scrubbed_text"]
+    assert "4111" not in out["scrubbed_text"]
+    out2 = Q.pii_scrub_py(TEXTS[7])
+    assert "<EMAIL>" in out2["scrubbed_text"]
+    assert "john.doe@example.com" not in out2["scrubbed_text"]
+
+
+def test_toxicity_flag():
+    assert Q.pii_scrub_py(TEXTS[9])["toxic_hits"] > 0
+    assert not Q.pii_scrub_py(TEXTS[9])["toxicity_pass"]
+
+
+def test_keep_combiner(spark, df):
+    out = Q.quality_chain(spark, df).select("url", "keep").toPandas()
+    keep = dict(zip(out["url"], out["keep"]))
+    assert keep["u0"]  # fluent english
+    assert not keep["u1"]  # german
+    assert not keep["u4"]  # too short
+    assert not keep["u9"]  # toxic
