@@ -120,12 +120,18 @@ def _instrument(root: _Elem) -> None:
                 stack.append(child)
 
 
-def _subtree_text(el: _Elem, out: list[str]) -> None:
-    for child in el.children:
+def _compute_texts(root: _Elem, cache: dict[int, str]) -> str:
+    """One post-order pass: subtree text for every element (bs4 ``.text``
+    semantics: all descendant strings in document order, '' separator)."""
+    parts: list[str] = []
+    for child in root.children:
         if isinstance(child, str):
-            out.append(child)
+            parts.append(child)
         else:
-            _subtree_text(child, out)
+            parts.append(_compute_texts(child, cache))
+    text = "".join(parts)
+    cache[id(root)] = text
+    return text
 
 
 @dataclass
@@ -152,6 +158,8 @@ def parse_nodes(html: str) -> list[NodeRow]:
     if root is None:
         return []
     _instrument(root)
+    texts: dict[int, str] = {}
+    _compute_texts(root, texts)
 
     rows: list[NodeRow] = []
     seq = 0
@@ -160,10 +168,8 @@ def parse_nodes(html: str) -> list[NodeRow]:
     while walk:
         el = walk.pop()
         if el.node_id is not None:
-            buf: list[str] = []
-            _subtree_text(el, buf)
             is_text = el.is_instrument and (el.parent is None or el.parent.tag != "noscript")
-            rows.append(NodeRow(seq, el.node_id, el.tag, is_text, "".join(buf)))
+            rows.append(NodeRow(seq, el.node_id, el.tag, is_text, texts[id(el)]))
             seq += 1
         walk.extend(
             c for c in reversed(el.children) if isinstance(c, _Elem)

@@ -90,13 +90,18 @@ def _page_sequence(html_bytes: bytes) -> list[dict]:
             is_text_node = len(stripped) > 0
         else:
             continue
+        # tokenize straight to the MODEL_MAX_TOKEN_LEN the scorer reads:
+        # provably identical to tokenizing to the reference's 50 ids and
+        # truncating (processing.py:50) — BOS + first 3 pieces + EOS/PAD
+        # agree case-by-case; pinned by tests/test_model.py. The 50-id
+        # preprocessing table is produced by encode_chunks() only.
         rows.append(
             {
                 "seq_pos": seq_pos,
                 "node_id": node.node_id,
                 "tag": node.tag,
                 "text": stripped,
-                "token_ids": tokenize(stripped),
+                "token_ids": tokenize(stripped, max_len=C.MODEL_MAX_TOKEN_LEN),
                 "chunk_id": seq_pos // C.CHUNK_SIZE,
                 "is_text_node": is_text_node,
             }
@@ -143,11 +148,21 @@ def chunk_nodes(nodes: DataFrame) -> DataFrame:
     """Nodes -> one row per (url, chunk_id) with ordered node structs (T3).
 
     array_sort inside the agg restores document order regardless of
-    shuffle arrival order — the plan stays order-agnostic.
+    shuffle arrival order — the plan stays order-agnostic. Token ids are
+    sliced to the MODEL_MAX_TOKEN_LEN-1 the model actually consumes
+    (processing.py:50 truncates identically) *before* the shuffle —
+    ~12x less token payload through the exchange at any scale.
     """
     return nodes.groupBy("url", "chunk_id").agg(
         F.array_sort(
-            F.collect_list(F.struct("seq_pos", "node_id", "token_ids", "text"))
+            F.collect_list(
+                F.struct(
+                    "seq_pos",
+                    "node_id",
+                    F.slice("token_ids", 1, C.MODEL_MAX_TOKEN_LEN - 1).alias("token_ids"),
+                    "text",
+                )
+            )
         ).alias("nodes")
     )
 

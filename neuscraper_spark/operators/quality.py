@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import math
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -39,14 +38,24 @@ LANGID_BUCKETS = 4096
 LANGID_UNKNOWN = "und"
 
 
-def _char_ngrams(text: str, n: int = 3):
-    padded = f" {text.lower()} "
-    for i in range(len(padded) - n + 1):
-        yield padded[i : i + n]
+# byte-trigram rolling hash (numpy-vectorizable, platform-stable):
+# h = (b0*65599 + b1*257 + b2) mod BUCKETS over lowercased UTF-8 bytes
+_H0, _H1 = 65599, 257
 
 
-def _bucket(gram: str) -> int:
-    return zlib.crc32(gram.encode("utf-8")) % LANGID_BUCKETS
+def _trigram_buckets(text: str) -> np.ndarray:
+    """Vectorized bucket ids of every byte trigram in ' text '."""
+    data = np.frombuffer(f" {text.lower()} ".encode("utf-8"), dtype=np.uint8)
+    if data.size < 3:
+        return np.empty(0, dtype=np.int64)
+    a = data[:-2].astype(np.int64)
+    b = data[1:-1].astype(np.int64)
+    c = data[2:].astype(np.int64)
+    return (a * _H0 + b * _H1 + c) % LANGID_BUCKETS
+
+
+def _bucket_counts(text: str) -> np.ndarray:
+    return np.bincount(_trigram_buckets(text), minlength=LANGID_BUCKETS).astype(np.float32)
 
 
 def build_langid_profiles() -> tuple[list[str], np.ndarray]:
@@ -57,8 +66,7 @@ def build_langid_profiles() -> tuple[list[str], np.ndarray]:
     mat = np.zeros((len(langs), LANGID_BUCKETS), dtype=np.float32)
     for li, lang in enumerate(langs):
         for word in WORDS[lang]:
-            for gram in _char_ngrams(word):
-                mat[li, _bucket(gram)] += 1.0
+            mat[li] += _bucket_counts(word)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     return langs, mat / np.maximum(norms, 1e-9)
 
@@ -75,9 +83,7 @@ def _profiles() -> tuple[list[str], np.ndarray]:
 
 def langid_scores_py(text: str) -> tuple[str, float]:
     langs, mat = _profiles()
-    vec = np.zeros(LANGID_BUCKETS, dtype=np.float32)
-    for gram in _char_ngrams(text or ""):
-        vec[_bucket(gram)] += 1.0
+    vec = _bucket_counts(text or "")
     n = float(np.linalg.norm(vec))
     if n == 0.0:
         return LANGID_UNKNOWN, 0.0
@@ -223,50 +229,74 @@ def _words(col: Column) -> Column:
 
 def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds per-rule booleans + ``quality_pass`` as native expressions —
-    whole-stage-codegen'd, no Python (SURVEY.md §2 F11)."""
-    words = _words(F.col(text_col))
-    n_words = F.size(words)
-    total_chars = F.aggregate(
-        words, F.lit(0), lambda acc, w: acc + F.length(w)
-    )
-    mean_wl = total_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
-    n_symbols = (
-        F.length(F.col(text_col))
-        - F.length(F.regexp_replace(F.col(text_col), r"[#…]|\.\.\.", ""))
-    )
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-zÀ-ÿ]")))
-    lowered = F.lower(F.col(text_col))
-    stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in STOPWORDS]),
-            lambda s: F.array_contains(F.split(lowered, r"[^a-zà-ÿ']+"), s),
+    whole-stage-codegen'd, no Python (SURVEY.md §2 F11).
+
+    Expression hygiene matters as much as operator choice: the word
+    split is computed ONCE into a helper column and every rule reads the
+    derived scalars (a first draft that re-derived ``split(trim(text))``
+    inside each rule cost ~10ms/row — 20+ regex splits per row once
+    Catalyst expanded the tree). Stopword hits use one
+    array_intersect instead of per-stopword array_contains scans.
+    """
+    r = RULES
+    text = F.col(text_col)
+    df = (
+        df.withColumn("_words", _words(text))
+        .withColumn("n_words", F.size("_words"))
+        .withColumn(
+            "_total_chars",
+            F.aggregate("_words", F.lit(0), lambda acc, w: acc + F.length(w)),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                F.col("_total_chars").cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1)).cast("double"),
+                4,
+            ),
+        )
+        .withColumn(
+            "_n_symbols",
+            F.length(text) - F.length(F.regexp_replace(text, r"[#…]|\.\.\.", "")),
+        )
+        .withColumn(
+            "_alpha_words",
+            F.size(F.filter("_words", lambda w: w.rlike("[A-Za-zÀ-ÿ]"))),
+        )
+        .withColumn(
+            "_stop_hits",
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.split(F.lower(text), r"[^a-zà-ÿ']+")),
+                    F.array(*[F.lit(s) for s in STOPWORDS]),
+                )
+            ),
         )
     )
-    r = RULES
+    n_words = F.col("n_words")
+    mean_wl_raw = F.col("_total_chars").cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
     df = (
-        df.withColumn("n_words", n_words)
-        .withColumn("mean_word_len", F.round(mean_wl, 4))
-        .withColumn(
+        df.withColumn(
             "rule_word_count",
             (n_words >= r["min_words"]) & (n_words <= r["max_words"]),
         )
         .withColumn(
             "rule_mean_word_len",
-            (mean_wl >= r["min_mean_word_len"]) & (mean_wl <= r["max_mean_word_len"]),
+            (mean_wl_raw >= r["min_mean_word_len"]) & (mean_wl_raw <= r["max_mean_word_len"]),
         )
         .withColumn(
             "rule_symbol_ratio",
-            n_symbols.cast("double")
+            F.col("_n_symbols").cast("double")
             <= F.lit(r["max_symbol_word_ratio"]) * F.greatest(n_words, F.lit(1)),
         )
         .withColumn(
             "rule_alpha_ratio",
-            alpha_words.cast("double")
+            F.col("_alpha_words").cast("double")
             >= F.lit(r["min_alpha_word_ratio"]) * F.greatest(n_words, F.lit(1)),
         )
-        .withColumn("rule_stopwords", stop_hits >= r["min_stopword_hits"])
+        .withColumn("rule_stopwords", F.col("_stop_hits") >= r["min_stopword_hits"])
     )
-    return df.withColumn(
+    df = df.withColumn(
         "quality_pass",
         F.col("rule_word_count")
         & F.col("rule_mean_word_len")
@@ -274,6 +304,7 @@ def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
         & F.col("rule_alpha_ratio")
         & F.col("rule_stopwords"),
     )
+    return df.drop("_words", "_total_chars", "_n_symbols", "_alpha_words", "_stop_hits")
 
 
 def heuristics_py(text: str) -> dict:
@@ -377,10 +408,46 @@ def keep_py(lang_pred: str, quality_pass: bool, toxicity_pass: bool, ppl: float)
     return (lang_pred in KEEP_LANGS) and quality_pass and toxicity_pass and ppl <= PPL_MAX
 
 
+def with_langid_ppl(spark, df: DataFrame, text_col: str = "text", ppl_tables=None) -> DataFrame:
+    """langid + perplexity in ONE mapInPandas stage.
+
+    Why not two pandas_udfs: a struct-returning scalar UDF whose fields
+    are re-referenced (and any UDF under a pushed-down filter) gets
+    *duplicated* by Catalyst — measured 2-4x re-execution of the whole
+    upstream pipeline on the bench corpus. mapInPandas appends the
+    columns in a single python stage that can't be split, duplicated or
+    pushed through, and both models share one Arrow round-trip.
+    """
+    bc = spark.sparkContext.broadcast(ppl_tables if ppl_tables is not None else _ppl_tables())
+    in_schema = df.schema
+    out_ddl = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema.fields]
+        + ["lang_pred string", "lang_conf double", "ppl double"]
+    )
+    cols = [f.name for f in in_schema.fields]
+
+    def run(batches):
+        tables = bc.value
+        for pdf in batches:
+            texts = pdf[text_col]
+            langs, confs, ppls = [], [], []
+            for t in texts:
+                lang, conf = langid_scores_py(t or "")
+                langs.append(lang)
+                confs.append(conf)
+                ppls.append(ppl_py(t, tables))
+            out = pdf[cols].copy()
+            out["lang_pred"] = langs
+            out["lang_conf"] = confs
+            out["ppl"] = ppls
+            yield out
+
+    return df.mapInPandas(run, schema=out_ddl)
+
+
 def quality_chain(spark, df: DataFrame, text_col: str = "text", ppl_tables=None) -> DataFrame:
     """langid -> perplexity -> heuristics -> PII scrub -> keep."""
-    df = with_langid(df, text_col)
-    df = with_perplexity(spark, df, text_col, tables=ppl_tables)
+    df = with_langid_ppl(spark, df, text_col, ppl_tables=ppl_tables)
     df = with_heuristics(df, text_col)
     df = with_pii_scrub(df, text_col)
     return with_keep(df)

@@ -34,6 +34,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep AQE-coalesced partitions from dropping below real
+        # parallelism for byte-small but python-CPU-heavy stages: the
+        # floor is parallelism-first with a small min size, so big data
+        # still coalesces toward the 64MB advisory.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch ≈ the reference's DataLoader batch of 256 chunks
         # (src/scraper/commoncrawl.py:84)
@@ -44,8 +49,43 @@ def get_spark(
         # keep python workers around between stages — model stays warm
         .config("spark.python.worker.reuse", "true")
     )
+    # Pin BLAS to one thread *in the python workers*: N workers x M BLAS
+    # threads thrashes the box and perturbs float32 reduction order.
+    # (neuscraper_spark/__init__.py pins the driver; workers need it via
+    # executorEnv because pyspark.worker imports numpy before user code.)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
+    """Force-spawn the full python worker pool and its heavy imports.
+
+    Workers spawn lazily per concurrent task, so a job's first runs pay
+    staggered numpy/pandas import + model-broadcast deserialization.
+    One wide dummy stage (and worker reuse) moves that cost off the
+    measured path — the local twin of executor warm-up on a cluster.
+    """
+    n = n or spark.sparkContext.defaultParallelism
+
+    def _touch(batches):
+        from .model import load_weights  # heavy imports inside workers
+        from .operators.quality import _ppl_tables, _profiles
+
+        _profiles()
+        _ppl_tables()
+        load_weights()
+        for pdf in batches:
+            yield pdf[["id"]]
+
+    import time as _time
+
+    def _stall(batches):
+        _time.sleep(0.5)  # hold the slot so every task gets a fresh worker
+        yield from _touch(batches)
+
+    spark.range(0, n, 1, n).mapInPandas(_stall, "id long").count()

@@ -42,10 +42,19 @@ def _piece_id(piece: str) -> int:
 
 
 def tokenize(text: str, max_len: int = PREP_MAX_TOKEN_LEN) -> list[int]:
-    """BOS + hashed pieces + EOS, truncated and padded to ``max_len``."""
-    pieces = _PIECE_RE.findall(text)
+    """BOS + hashed pieces + EOS, truncated and padded to ``max_len``.
+
+    Lazily scans only as many pieces as fit (finditer, not findall) —
+    at max_len=5 the hot path reads 3 pieces of a paragraph, not all of
+    them.
+    """
     ids = [BOS_ID]
-    ids.extend(_piece_id(p) for p in pieces[: max_len - 2])
+    budget = max_len - 2
+    for m in _PIECE_RE.finditer(text):
+        if budget == 0:
+            break
+        ids.append(_piece_id(m.group()))
+        budget -= 1
     ids.append(EOS_ID)
     if len(ids) < max_len:
         ids.extend([PAD_ID] * (max_len - len(ids)))

@@ -60,6 +60,16 @@ def test_tensorize_matches_reference_geometry():
     assert not masks[1:].any()  # padded nodes fully masked
 
 
+def test_short_tokenization_equals_truncated_full():
+    """tokenize(max_len=5) feeds the model identically to the reference's
+    tokenize-to-50-then-truncate (processing.py:50) — the hot path relies
+    on this."""
+    for text in ("", "one", "one two", "one two three", "word " * 30, "a, b; c!"):
+        full = tensorize_chunk([tokenize(text, 50)])
+        short = tensorize_chunk([tokenize(text, 5)])
+        assert np.array_equal(full[0], short[0]) and np.array_equal(full[1], short[1]), text
+
+
 def test_padding_rows_scored_zero():
     w = load_weights()
     s = score_chunks([[tokenize("some real text here")]], w)
