@@ -509,6 +509,202 @@ def c7_cast(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# D — deduplication (first-class pipeline components, no reference analogue)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d1_exact_dedup",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def d1_exact_dedup(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "d2_ngram_jaccard",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9à-ÿ'']+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, ws[i] || '␟' || ws[i+1] || '␟' || ws[i+2] AS gram
+      FROM words, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared) >= 0.2
+    """,
+)
+def d2_ngram_jaccard(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@query("d3_minhash_lsh", None)  # hash fns not SQL-portable -> rows-only check
+def d3_minhash_lsh(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@query("d4_simhash", None)  # rows-only; accuracy gated by tests/test_dedup.py
+def d4_simhash(spark, sf_dir):
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@query(
+    "d5_embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95
+    """,
+)
+def d5_embedding_neardup(spark, sf_dir):
+    from .operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# S — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s1_bruteforce_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qvec) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+      FROM embeddings e, q WHERE e.vec_id != q.qid
+    ),
+    ranked AS (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+      FROM scored)
+    SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def s1_bruteforce_topk(spark, sf_dir):
+    from .operators.similarity import brute_force_topk, queries_from_ids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, queries_from_ids(emb, range(5)), k=10)
+
+
+@query("s2_ann_lsh_topk", None)  # rows-only; recall gated by tests
+def s2_ann_lsh_topk(spark, sf_dir):
+    from .operators.similarity import ann_lsh_topk, queries_from_ids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, queries_from_ids(emb, range(5)), k=10)
+
+
+# ---------------------------------------------------------------------------
+# X — text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x1_token_counts",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-zÀ-ÿ0-9]{1,4}|[^A-Za-zÀ-ÿ0-9\\s]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def x1_token_counts(spark, sf_dir):
+    from .operators.textstats import with_token_counts
+
+    return with_token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+@query(
+    "x2_quality_score",
+    """
+    SELECT doc_id,
+           round(least(length(text) / 1000.0, 1.0) * 0.4
+                 + least((length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))) / 10.0, 1.0) * 0.3
+                 + (1.0 - least((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                                / greatest(length(text), 1) * 5.0, 1.0)) * 0.3,
+                 6) AS quality_score
+    FROM documents
+    """,
+)
+def x2_quality_score(spark, sf_dir):
+    from .operators.textstats import with_quality_score
+
+    return with_quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+
+
+@query(
+    "x3_fingerprint",
+    """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def x3_fingerprint(spark, sf_dir):
+    from .operators.textstats import with_fingerprint
+
+    return with_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+@query(
+    "x4_lang_source_stats",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    w -> w <> ''))) AS BIGINT) AS total_ws_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(doc_id) AS first_doc
+    FROM documents GROUP BY lang, source
+    """,
+)
+def x4_lang_source_stats(spark, sf_dir):
+    from .operators.textstats import lang_source_stats
+
+    return lang_source_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # streaming-shaped (batch equivalent): tumbling window over events
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,85 @@
+"""Dedup operators: exactness, near-dup recall, estimator quality."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neuscraper_spark.operators import dedup as D
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden all day long"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near dup of 0
+        (3, BASE.replace("quick", "fast").replace("garden", "yard")),  # near dup
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "another unrelated document mentioning benchmarks and parquet files"),
+        (6, BASE + " with a small suffix appended here"),  # near dup
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs).toPandas()
+    dup_group = out[out["n_dups"] == 2]
+    assert len(dup_group) == 1 and dup_group["keep_id"].iloc[0] == 0
+    kept = D.exact_dedup_keep(docs).toPandas()
+    assert sorted(kept["doc_id"]) == [0, 2, 3, 4, 5, 6]
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    found = {tuple(r) for r in pairs[["id_a", "id_b"]].values.tolist()}
+    assert (0, 1) in found  # exact dup -> jaccard 1.0
+    assert (0, 2) in found and (0, 6) in found
+    assert (4, 5) not in found
+    j01 = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]["jaccard"].iloc[0]
+    assert j01 == 1.0
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.3).toPandas()
+    found = {tuple(r[:2]): r[2] for r in pairs[["id_a", "id_b", "est_jaccard"]].values.tolist()}
+    assert found.get((0, 1)) == 1.0  # exact dup: identical signatures
+    assert (0, 2) in found  # near dup caught by banding
+    exact = D.ngram_jaccard_pairs(docs, n=2, threshold=0.0).toPandas()
+    # estimator within 0.25 of exact word-2gram jaccard for caught pairs
+    ex = {tuple(r[:2]): r[2] for r in exact[["id_a", "id_b", "jaccard"]].values.tolist()}
+    for pair, est in found.items():
+        if pair in ex:
+            assert abs(est - ex[pair]) < 0.35, (pair, est, ex[pair])
+
+
+def test_minhash_deterministic(spark, docs):
+    a = D.minhash_signatures(docs).toPandas().set_index("id")["sig"].map(tuple).to_dict()
+    b = D.minhash_signatures(docs).toPandas().set_index("id")["sig"].map(tuple).to_dict()
+    assert a == b
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = D.simhash_near_pairs(docs, max_hamming=12).toPandas()
+    found = {tuple(r) for r in pairs[["id_a", "id_b"]].values.tolist()}
+    assert (0, 1) in found  # identical text -> hamming 0
+    h01 = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]["hamming"].iloc[0]
+    assert h01 == 0
+    assert (0, 2) in found  # one-word change -> small hamming
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_neardup_pairs(emb, threshold=0.95).toPandas()
+    assert {tuple(r) for r in pairs[["id_a", "id_b"]].values.tolist()} == {(0, 1)}
