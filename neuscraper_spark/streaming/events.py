@@ -1,0 +1,62 @@
+"""Structured Streaming over the events table (bonus — the reference is
+strictly batch, SURVEY.md §2.10; this shows the engine's streaming
+surface on the driver's ``events`` schema).
+
+Pattern: file-source readStream -> watermarked tumbling-window agg ->
+sink. Tests run with trigger(availableNow) against the batch result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type: late rows
+    beyond the watermark are dropped, state is bounded."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(agg: DataFrame, query_name: str, checkpoint_dir: str):
+    """Drain everything currently available into an in-memory sink."""
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def batch_tumbling_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """The batch twin the stream must agree with."""
+    return (
+        events.groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n", "sum_value")
+    )

@@ -1,0 +1,160 @@
+"""Resumable writer, eval harness parity, parity JSON, streaming."""
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neuscraper_spark.operators import evaluate as E
+from neuscraper_spark.operators.parity import encode_chunks_json, page_chunk_jsons
+from neuscraper_spark.sources.writer import TableWriter, salted_repartition, url_host
+
+
+# ------------------------------------------------------------------- writer
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("bucket"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+
+
+def test_writer_roundtrip_and_metrics(spark, docs_df, tmp_path):
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    snap = w.write(docs_df)
+    assert snap["rows_written"] == 100
+    assert len(snap["committed_now"]) == 7
+    back = w.read(spark)
+    assert back.count() == 100
+    m = w.partition_metrics()
+    assert sum(v["metrics"]["n_rows"] for v in m.values()) == 100
+
+
+def test_writer_resume_skips_committed(spark, docs_df, tmp_path):
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(docs_df.filter("bucket in ('0','1','2')"))
+    snap2 = w.write(docs_df)  # resume: only 3..6 written now
+    assert sorted(snap2["committed_now"]) == ["3", "4", "5", "6"]
+    assert w.read(spark).count() == 100
+    # idempotent: a third run writes nothing and data is unchanged
+    snap3 = w.write(docs_df)
+    assert snap3["committed_now"] == [] and w.read(spark).count() == 100
+
+
+def test_writer_uncommitted_invisible_and_recovered(spark, docs_df, tmp_path):
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(docs_df)
+    # simulate a crash that wrote data but not the manifest for bucket 3
+    os.unlink(os.path.join(w.manifest_dir, "partition=3.json"))
+    assert w.read(spark).count() == 100 - len([i for i in range(100) if i % 7 == 3])
+    snap = w.write(docs_df)  # resume recovers exactly bucket 3, no dupes
+    assert snap["committed_now"] == ["3"]
+    assert w.read(spark).count() == 100
+
+
+def test_salted_repartition_spreads_skew(spark):
+    df = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1900, F.lit("https://hot.example/x"))
+        .otherwise(F.concat(F.lit("https://cold"), F.col("id"), F.lit(".example/y")))
+        .alias("url"),
+        F.col("id"),
+    ).withColumn("host", url_host(F.col("url")))
+    plain = df.repartition(8, "host")
+    salted = salted_repartition(df, "host", 8, salt=8)
+    def sizes(d):
+        return sorted(
+            d.withColumn("p", F.spark_partition_id()).groupBy("p").count()
+            .toPandas()["count"].tolist()
+        )
+    assert max(sizes(plain)) >= 1900  # hot host pins one partition
+    assert max(sizes(salted)) < 1000  # salt spreads it
+
+
+# --------------------------------------------------------------------- eval
+
+
+def test_eval_matches_python_twin(spark):
+    predictions = [
+        ("u1", 5, "Primary"), ("u1", 3, "Primary"), ("u2", 9, "Primary"),
+    ]
+    text_nodes = [
+        ("u1", 5, "hello "), ("u1", 3, "world"), ("u2", 9, "content"),
+        ("u3", 1, "unpredicted"),
+    ]
+    gold = [
+        ("u1", 5, "hello", True), ("u1", 3, "world", True),
+        ("u1", 2, "nav bar", False), ("u2", 9, "content", True),
+        ("u2", 8, "footer", False), ("u3", 1, "unpredicted", True),
+        ("u1", 4, "hello world", True),  # crosses node boundary, needs order
+        ("u1", 6, "world#TAB#x", False),  # unescape path
+    ]
+    p_df = spark.createDataFrame(predictions, "url string, text_node_id int, task string")
+    t_df = spark.createDataFrame(text_nodes, "url string, text_node_id int, text string")
+    g_df = spark.createDataFrame(
+        gold, "url string, text_node_id int, text string, judgment_is_primary boolean"
+    )
+    got = E.evaluate(p_df, t_df, g_df).toPandas().iloc[0].to_dict()
+    want = E.evaluate_py(predictions, text_nodes, gold)
+    for k in ("tp", "tn", "fp", "fn"):
+        assert got[k] == want[k], (k, got, want)
+    assert abs(got["fscore"] - want["fscore"]) < 1e-12
+    # sanity on the scenario itself
+    assert want["fn"] >= 1  # u3 missing-url injection counted as miss
+
+
+# ------------------------------------------------------------- parity JSON
+
+
+def test_encoded_chunks_json_matches_python(spark, pages):
+    sub = pages[:8]
+    pdf = pd.DataFrame(sub)
+    wp = spark.createDataFrame(pdf[["url", "html"]])
+    got = encode_chunks_json(wp).toPandas().sort_values("url")
+    want = []
+    for p in sub:
+        for line in page_chunk_jsons(p["url"], p["html"]):
+            want.append((p["url"], line))
+    want_df = pd.DataFrame(want, columns=["url", "json_line"]).sort_values("url")
+    assert got["json_line"].tolist() == want_df["json_line"].tolist()
+    rec = json.loads(got["json_line"].iloc[0])
+    assert set(rec) == {"TokenId", "NodeIds", "Url"}
+    assert all(len(row) == 50 for row in rec["TokenId"])
+
+
+# ---------------------------------------------------------------- streaming
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    from neuscraper_spark.streaming.events import (
+        batch_tumbling_counts,
+        read_event_stream,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    events = spark.read.parquet(src)
+    in_dir = str(tmp_path / "in")
+    events.repartition(6).write.parquet(in_dir)
+
+    stream = read_event_stream(spark, in_dir)
+    assert stream.isStreaming
+    q = run_available_now(
+        tumbling_counts(stream), "ev_counts", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("ev_counts").toPandas()
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    want = (
+        batch_tumbling_counts(spark.read.parquet(in_dir)).toPandas()
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
