@@ -705,6 +705,96 @@ def x4_lang_source_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# E — the reference's eval harness (run_eval.py/evaluator.py) end-to-end,
+# with predictions/text_nodes/gold derived deterministically from the
+# documents table so DuckDB can replay the whole chain
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e1_eval_metrics",
+    """
+    WITH text_nodes AS (
+      SELECT source AS url, doc_id AS text_node_id, text FROM documents
+    ),
+    predictions AS (
+      SELECT source AS url, doc_id AS text_node_id, 'Primary' AS task
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    gold AS (
+      SELECT source AS url, doc_id AS text_node_id,
+             substr(text, 1, 25) AS text, doc_id % 2 = 0 AS is_primary
+      FROM documents WHERE doc_id % 5 != 4
+    ),
+    pred_text AS (
+      SELECT p.url, p.task,
+             string_agg(t.text, '' ORDER BY p.text_node_id DESC) AS text
+      FROM predictions p LEFT JOIN text_nodes t
+        ON p.url = t.url AND p.text_node_id = t.text_node_id
+      WHERE t.text IS NOT NULL
+      GROUP BY p.url, p.task
+    ),
+    with_missing AS (
+      SELECT url, task, text FROM pred_text
+      UNION ALL
+      SELECT DISTINCT g.url, 'Primary' AS task, NULL AS text FROM gold g
+      WHERE NOT EXISTS (SELECT 1 FROM pred_text p WHERE p.url = g.url)
+    ),
+    conf AS (
+      SELECT
+        CAST(sum(CASE WHEN g.is_primary AND m.text IS NOT NULL
+                  AND instr(m.text, replace(replace(replace(g.text, '#N#', chr(10)),
+                      '#TAB#', chr(9)), '#R#', chr(13))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN NOT g.is_primary AND NOT (m.text IS NOT NULL
+                  AND instr(m.text, replace(replace(replace(g.text, '#N#', chr(10)),
+                      '#TAB#', chr(9)), '#R#', chr(13))) > 0) THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        CAST(sum(CASE WHEN NOT g.is_primary AND m.text IS NOT NULL
+                  AND instr(m.text, replace(replace(replace(g.text, '#N#', chr(10)),
+                      '#TAB#', chr(9)), '#R#', chr(13))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN g.is_primary AND NOT (m.text IS NOT NULL
+                  AND instr(m.text, replace(replace(replace(g.text, '#N#', chr(10)),
+                      '#TAB#', chr(9)), '#R#', chr(13))) > 0) THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM gold g LEFT JOIN with_missing m ON g.url = m.url
+    )
+    SELECT tp, tn, fp, fn,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+           round(CAST(tp + tn AS DOUBLE) / (tp + tn + fp + fn), 6) AS accuracy,
+           round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS fscore
+    FROM conf
+    """,
+)
+def e1_eval_metrics(spark, sf_dir):
+    from .operators.evaluate import confusion_counts, inject_missing_urls, assemble_predictions
+
+    docs = _t(spark, sf_dir, "documents")
+    text_nodes = docs.select(
+        F.col("source").alias("url"), F.col("doc_id").alias("text_node_id"), "text"
+    )
+    predictions = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("source").alias("url"),
+        F.col("doc_id").alias("text_node_id"),
+        F.lit("Primary").alias("task"),
+    )
+    gold = docs.filter(F.col("doc_id") % 5 != 4).select(
+        F.col("source").alias("url"),
+        F.col("doc_id").alias("text_node_id"),
+        F.substring("text", 1, 25).alias("text"),
+        (F.col("doc_id") % 2 == 0).alias("judgment_is_primary"),
+    )
+    pred_text = inject_missing_urls(assemble_predictions(predictions, text_nodes), gold)
+    conf = confusion_counts(pred_text, gold)
+    tp, tn, fp, fn = (F.col(c).cast("double") for c in ("tp", "tn", "fp", "fn"))
+    return conf.select(
+        "tp", "tn", "fp", "fn",
+        F.round(tp / (tp + fp), 6).alias("precision"),
+        F.round(tp / (tp + fn), 6).alias("recall"),
+        F.round((tp + tn) / (tp + tn + fp + fn), 6).alias("accuracy"),
+        F.round((2 * tp) / (2 * tp + fp + fn), 6).alias("fscore"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming-shaped (batch equivalent): tumbling window over events
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,71 @@
+"""Physical-plan shape assertions: the plans we want, not just plans
+that pass (pushdown, broadcast, bounded shuffle counts, codegen)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neuscraper_spark.corpus import web_pages_df
+from neuscraper_spark.operators.extract import extract_pipeline
+from neuscraper_spark.operators.quality import quality_chain
+from neuscraper_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = all_queries()["f1_filter_project"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "l_returnflag" in plan.split("PushedFilters:")[1][:200]
+    # column pruning: the scan reads only what the query needs
+    read_schema = plan.split("ReadSchema:")[1][:300]
+    assert "l_shipdate" not in read_schema
+
+
+def test_j1_is_broadcast_join(spark):
+    plan = plan_of(all_queries()["j1_left_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_a1_single_shuffle_no_global_sort(spark):
+    plan = plan_of(all_queries()["a1_ordered_concat"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1  # partial+final agg, one exchange
+    assert "Sort " not in plan  # ordering happens inside the agg expr
+
+
+@pytest.fixture(scope="module")
+def wp_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("wp") / "web_pages")
+    web_pages_df(spark, seed=1, n_pages=8, partitions=2).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_extract_pipeline_two_shuffles(spark, wp_parquet):
+    plan = plan_of(extract_pipeline(spark, wp_parquet))
+    assert plan.count("Exchange") == 2  # chunk agg + url agg, nothing else
+    assert plan.count("MapInPandas") == 2  # parse + score only
+
+
+def test_quality_chain_single_python_stage(spark, wp_parquet):
+    full = quality_chain(spark, extract_pipeline(spark, wp_parquet)).filter("keep")
+    plan = plan_of(full)
+    assert plan.count("MapInPandas") == 3  # parse + score + langid/ppl
+    assert "ArrowEvalPython" not in plan  # no scalar-udf duplication risk
+    assert "BatchEvalPython" not in plan  # no row-at-a-time python, ever
+
+
+def test_whole_stage_codegen_on_native_queries(spark):
+    plan = plan_of(all_queries()["x2_quality_score"](spark, SF_DIR))
+    assert "*(" in plan  # WholeStageCodegen stage marker in compact plans
+
+
+def test_html_dropped_before_shuffle(spark, wp_parquet):
+    """The 100KB html blobs must not survive into any exchange."""
+    plan = plan_of(extract_pipeline(spark, wp_parquet))
+    for segment in plan.split("Exchange")[1:]:
+        assert "html" not in segment.split("+-")[0]
