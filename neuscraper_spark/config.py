@@ -38,10 +38,13 @@ SCORE_DECIMALS = 4
 # Model geometry (scaled-down but same topology as the reference:
 # token-encoder -> pooler -> text_in->text linear -> pos-enc ->
 # node-level transformer encoder -> per-node MLP -> sigmoid;
-# src/scraper/model.py:49-124). Reference uses 768/256/3 layers/8 heads;
-# we default smaller for CPU serving — all knobs in one place.
-VOCAB_SIZE = 50_000
-TEXT_IN_EMB_DIM = 128   # reference: 768 (XLMR pooler)
+# src/scraper/model.py:49-124). Reference uses 768/256/3 layers/8 heads
+# over a 250k-piece vocabulary; we default smaller for CPU serving —
+# sized so the per-worker embedding table (VOCAB*DIM*4 = 2 MB) stays
+# cache-resident: at 50k x 128 the gather thrashed shared L3 across 32
+# workers and the scorer stopped scaling past ~8 processes (measured).
+VOCAB_SIZE = 8_192
+TEXT_IN_EMB_DIM = 64    # reference: 768 (XLMR pooler)
 TEXT_EMB_DIM = 64       # reference: 256
 NODE_LAYERS = 2         # reference: 3
 NODE_HEADS = 4          # reference: 8

@@ -231,7 +231,7 @@ def score_batch(token_ids: np.ndarray, token_masks: np.ndarray, w: dict) -> np.n
 # src/scraper/commoncrawl.py:84; the micro-batch is a memory knob only —
 # per-chunk results are independent of batch composition, asserted by
 # tests/test_model.py).
-MICRO_BATCH = 32
+MICRO_BATCH = 16
 
 
 def score_chunks(chunks_token_ids: list[list[list[int]]], w: dict) -> np.ndarray:
