@@ -1,0 +1,127 @@
+"""Literal WARC source: binaryFile scan + pure-python record splitter.
+
+For when the input is raw Common-Crawl WARC files instead of the
+web_pages table (SURVEY.md §2.1 S1: the reference iterates records with
+warcio and keeps ``rec_type == 'response'``, src/warc/build.py:119-123;
+warcio is unavailable here, so the splitter implements the public
+WARC/1.0 format directly: header block, Content-Length-delimited body,
+CRLF CRLF record separator; .warc.gz = concatenated gzip members).
+
+    web_pages = read_warc_responses(spark, "/data/*.warc.gz")
+    -> (url string, warc_ts timestamp, html binary)
+
+Scale note: one task per WARC file (the reference's Pool(64) unit,
+build.py:192-193); for multi-GB files, split upstream or repartition
+the downstream node-level DataFrame — parse cost dominates anyway.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (the .warc.gz layout)."""
+    out = io.BytesIO()
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=47)  # auto gzip/zlib header
+        out.write(d.decompress(data[pos:]))
+        consumed = len(data[pos:]) - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return out.getvalue()
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (headers, content) per WARC record from raw bytes."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n or not data[pos : pos + 5] == b"WARC/":
+            break
+        header_end = data.find(_CRLF2, pos)
+        if header_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[pos:header_end].decode("utf-8", "replace").split("\r\n")[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        length = int(headers.get("content-length", 0))
+        body_start = header_end + len(_CRLF2)
+        yield headers, data[body_start : body_start + length]
+        pos = body_start + length
+
+
+def http_body(content: bytes) -> bytes:
+    """Strip the HTTP response head from a response record's content."""
+    sep = content.find(_CRLF2)
+    return content[sep + len(_CRLF2):] if sep >= 0 else content
+
+
+def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
+    """All response records of one WARC file -> row dicts (F1 filter)."""
+    if path.endswith(".gz") or data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    rows = []
+    for headers, content in iter_warc_records(data):
+        if headers.get("warc-type") != "response":
+            continue
+        rows.append(
+            {
+                "url": headers.get("warc-target-uri", ""),
+                "warc_ts": headers.get("warc-date", ""),
+                "html": http_body(content),
+            }
+        )
+    return rows
+
+
+def read_warc_responses(spark: SparkSession, glob: str) -> DataFrame:
+    files = spark.read.format("binaryFile").load(glob)
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                out.extend(parse_warc_bytes(bytes(content), str(path)))
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html"])
+
+    raw = files.select("path", "content").mapInPandas(
+        split, schema="url string, warc_ts string, html binary"
+    )
+    return raw.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+
+# ----------------------------------------------------------- test support
+
+
+def build_warc_bytes(records: list[tuple[str, str, bytes]], compress: bool = False) -> bytes:
+    """(url, iso_ts, html_bytes) -> minimal valid WARC/1.0 bytes."""
+    import gzip as _gzip
+
+    out = io.BytesIO()
+    for url, ts, html in records:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        )
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts}\r\nContent-Length: {len(http)}\r\n"
+        ).encode()
+        rec = head + b"\r\n" + http + b"\r\n\r\n"
+        out.write(_gzip.compress(rec) if compress else rec)
+    return out.getvalue()
