@@ -49,3 +49,6 @@ TEXT_EMB_DIM = 64       # reference: 256
 NODE_LAYERS = 2         # reference: 3
 NODE_HEADS = 4          # reference: 8
 MODEL_SEED = 42
+
+# cache-invalidation tag for node-shared weight mmaps (model.shm_cache_weights)
+WEIGHTS_TAG = f"{MODEL_SEED}-{VOCAB_SIZE}-{TEXT_IN_EMB_DIM}-{TEXT_EMB_DIM}-{NODE_LAYERS}-{NODE_HEADS}"

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from .. import config as C
 from ..functions.text import strip_ws_py
 from ..html_parser import parse_nodes as _parse_html
-from ..model import load_weights, score_chunks
+from ..model import load_weights, score_chunks, shm_cache_weights
 from ..tokenizer import tokenize
 
 NODES_DDL = (
@@ -184,7 +184,7 @@ def score_nodes(spark: SparkSession, chunks: DataFrame) -> DataFrame:
     bc = _weights_broadcast(spark)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        w = bc.value
+        w = shm_cache_weights(bc.value, tag=C.WEIGHTS_TAG)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -267,7 +267,7 @@ def extract_fused(
     thr = float(threshold)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        w = bc.value
+        w = shm_cache_weights(bc.value, tag=C.WEIGHTS_TAG)
         for pdf in batches:
             page_rows = [(u, _page_sequence(h)) for u, h in zip(pdf["url"], pdf["html"])]
             # flatten all chunks in this Arrow batch
