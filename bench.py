@@ -147,7 +147,7 @@ def main() -> None:
     # comparable pair (full analysis in BENCH/BASELINE.md).
     q1 = max(CPUS // 4, 1)
     schedule = [
-        (CPUS, True, 3), (q1, False, 3), (CPUS, False, 3), (q1, False, 3),
+        (CPUS, True, 3), (q1, False, 3), (CPUS, False, 2),
     ]
     results: dict[int, dict] = {}
     import shutil

@@ -98,6 +98,22 @@ def test_keep_drop_f1_vs_oracle_labels(spark, web_pages, pages):
     assert (merged["scrubbed_text_got"] == merged["scrubbed_text_want"]).all()
 
 
+def test_threshold_sweep_counts(spark, web_pages):
+    """M2: one forward pass, all (task, θ) predictions; monotone in θ and
+    consistent with kept_nodes at θ=0.9."""
+    from neuscraper_spark.operators.extract import threshold_sweep
+
+    scored = score_nodes(spark, chunk_nodes(parse_nodes(web_pages))).cache()
+    sweep = threshold_sweep(scored).toPandas()
+    prim = sweep[sweep.task == "Primary"]
+    by_thr = prim.groupby("threshold")["node_id"].count()
+    assert by_thr.is_monotonic_decreasing
+    kept = kept_nodes(scored).count()
+    # sweep at 0.9 counts nodes regardless of text!='' fusion
+    assert by_thr.loc[0.9] >= kept
+    scored.unpersist()
+
+
 def test_threshold_monotonicity(spark, web_pages):
     """Lower θ keeps a superset of nodes (M2 sweep semantics)."""
     scored = score_nodes(spark, chunk_nodes(parse_nodes(web_pages))).cache()
