@@ -799,6 +799,18 @@ def e1_eval_metrics(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@query("pipeline_curate", None)  # the flagship itself: model-driven -> rows-only
+def pipeline_curate(spark, sf_dir):
+    from .corpus import web_pages_from_documents
+    from .operators.extract import extract_pipeline
+    from .operators.quality import quality_chain
+
+    web_pages = web_pages_from_documents(spark, sf_dir)
+    return quality_chain(spark, extract_pipeline(spark, web_pages)).select(
+        "url", "text", "lang_pred", "ppl", "quality_pass", "toxicity_pass", "keep"
+    )
+
+
 @query(
     "t_tumbling_window",
     """
