@@ -56,7 +56,22 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
     return np.tile(body, reps)[: w * h].reshape(h, w)
 
 
-DECODERS = {"image": _decode_image_stub}
+def _decode_audio_stub(payload: bytes) -> np.ndarray:
+    """STUB audio decoder (real deployment: soundfile/ffmpeg). The fake
+    materializes a deterministic int16 'waveform' of sample_rate/10
+    samples so feature plumbing (mean/std/min/max) is exercised."""
+    if not payload.startswith(_MAGIC):
+        raise NotImplementedError(
+            "real audio decode not available in this environment"
+        )
+    _, _, _, sr = struct.unpack("<4i", payload[4:20])
+    body = np.frombuffer(payload[20:], dtype=np.uint8).astype(np.int16)
+    n = max(sr // 10, 1)
+    reps = int(np.ceil(n / body.size))
+    return (np.tile(body, reps)[:n] - 128) * 256
+
+
+DECODERS = {"image": _decode_image_stub, "audio": _decode_audio_stub}
 
 
 def media_table(spark, n: int = 200, partitions: int = 8) -> DataFrame:

@@ -75,11 +75,14 @@ def test_simhash_near_pairs(spark, docs):
 
 def test_embedding_neardup(spark):
     rows = [
-        (0, [1.0, 0.0, 0.0, 0.0]),
-        (1, [0.999, 0.01, 0.0, 0.0]),  # near dup of 0
-        (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
-        (3, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+        (0, [1.0, 0.0, 0.0, 0.0] * 16),
+        (1, [0.999, 0.01, 0.0, 0.0] * 16),  # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0] * 16),     # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0] * 16),    # opposite
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = D.embedding_neardup_pairs(emb, threshold=0.95).toPandas()
     assert {tuple(r) for r in pairs[["id_a", "id_b"]].values.tolist()} == {(0, 1)}
+    # the LSH scale path finds the same pair set at this threshold
+    lsh = D.embedding_neardup_lsh(emb, threshold=0.95).toPandas()
+    assert {tuple(r) for r in lsh[["id_a", "id_b"]].values.tolist()} == {(0, 1)}

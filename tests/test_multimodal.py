@@ -22,10 +22,11 @@ def test_schema_and_determinism(spark, media):
 
 def test_decode_features(spark, media):
     out = M.decode_features(media).toPandas()
-    imgs = out[out["kind"] == "image"]
-    assert len(imgs) == 20
-    assert all(len(f) == 4 for f in imgs["features"])
-    assert all(f is None for f in out[out["kind"] != "image"]["features"])
+    for kind in ("image", "audio"):
+        rows = out[out["kind"] == kind]
+        assert len(rows) == 20
+        assert all(len(f) == 4 for f in rows["features"])
+    assert all(f is None for f in out[out["kind"] == "video"]["features"])
 
 
 def test_frame_sample(spark, media):
