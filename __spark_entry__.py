@@ -13,13 +13,38 @@ check — their real gate is the byte-identity pytest suite
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# the package lives next to this file; make imports work regardless of
+# the driver's cwd/sys.path
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_package_shipped(spark: SparkSession) -> None:
+    """Make ``neuscraper_spark`` importable in executor python workers
+    even when the driver's cwd is elsewhere: zip the package and
+    sc.addPyFile it (the same artifact spark-submit --py-files ships)."""
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    sys.path.insert(0, os.path.join(_REPO_ROOT, "jobs"))
+    from package import main as build_zip  # jobs/package.py
+
+    spark.sparkContext.addPyFile(build_zip())
+    _SHIPPED.add(key)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extract + quality-filter chain at sf0.001."""
+    _ensure_package_shipped(spark)
     from neuscraper_spark.corpus import web_pages_from_documents
     from neuscraper_spark.operators.extract import extract_pipeline
     from neuscraper_spark.operators.quality import (
@@ -46,7 +71,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from neuscraper_spark.queries import all_queries
 
-    return all_queries()
+    def shipped(fn):
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_package_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return wrapper
+
+    return {name: shipped(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
