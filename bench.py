@@ -88,7 +88,6 @@ def run_level(cpus: int, n_pages: int, sf_dir: str, with_queries: bool, runs: in
             best = min(best, time.time() - t0)
         return round(best, 3)
 
-    from neuscraper_spark.operators.extract import extract_fused
 
     out: dict = {"cpus": cpus, "docs": n_pages}
     kept_holder: list[int] = []
@@ -101,8 +100,10 @@ def run_level(cpus: int, n_pages: int, sf_dir: str, with_queries: bool, runs: in
     out["pipeline_sec"] = timed(staged_job)
     out["kept"] = kept_holder[-1]
     out["docs_per_sec"] = round(n_pages / out["pipeline_sec"], 2)
+    from neuscraper_spark.operators.extract import extract_curate_fused
+
     out["fused_pipeline_sec"] = timed(
-        lambda: quality_chain(spark, extract_fused(spark, wp)).filter("keep").count()
+        lambda: extract_curate_fused(spark, wp).filter("keep").count()
     )
     out["fused_docs_per_sec"] = round(n_pages / out["fused_pipeline_sec"], 2)
 

@@ -256,18 +256,35 @@ def extract_fused(
     spark: SparkSession,
     web_pages: DataFrame,
     threshold: float = C.PRIMARY_THRESHOLD,
+    with_langid_ppl: bool = False,
+    ppl_tables=None,
 ) -> DataFrame:
     """Zero-shuffle variant: the whole per-page chain inside one Arrow UDF.
 
     Chunks are still batched *across* pages within each Arrow batch so
     the NumPy forward pass sees full micro-batches — the same batching
     economy as the reference's DataLoader(batch_size=256).
+
+    ``with_langid_ppl=True`` folds the quality chain's python models
+    into the same worker (one python stage per task instead of two
+    chained ones — less worker oversubscription at high parallelism);
+    follow with quality.with_heuristics/with_pii_scrub/with_keep.
     """
     bc = _weights_broadcast(spark)
     thr = float(threshold)
+    if with_langid_ppl:
+        from .quality import _ppl_tables
+
+        bc_ppl = spark.sparkContext.broadcast(
+            ppl_tables if ppl_tables is not None else _ppl_tables()
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w = shm_cache_weights(bc.value, tag=C.WEIGHTS_TAG)
+        if with_langid_ppl:
+            from .quality import langid_scores_py, ppl_py
+
+            tables = bc_ppl.value
         for pdf in batches:
             page_rows = [(u, _page_sequence(h)) for u, h in zip(pdf["url"], pdf["html"])]
             # flatten all chunks in this Arrow batch
@@ -290,9 +307,42 @@ def extract_fused(
                     parts = sorted(kept[pi], reverse=True)
                     urls.append(url)
                     texts.append("".join(t for _, t in parts))
-            yield pd.DataFrame({"url": urls, "text": texts})
+            out = pd.DataFrame({"url": urls, "text": texts})
+            if with_langid_ppl:
+                langs, confs, ppls = [], [], []
+                for t in texts:
+                    lang, conf = langid_scores_py(t)
+                    langs.append(lang)
+                    confs.append(conf)
+                    ppls.append(ppl_py(t, tables))
+                out["lang_pred"] = langs
+                out["lang_conf"] = confs
+                out["ppl"] = ppls
+            yield out
 
-    return web_pages.select("url", "html").mapInPandas(run, schema=EXTRACTED_DDL)
+    schema = EXTRACTED_DDL
+    if with_langid_ppl:
+        schema += ", lang_pred string, lang_conf double, ppl double"
+    return web_pages.select("url", "html").mapInPandas(run, schema=schema)
+
+
+def extract_curate_fused(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    threshold: float = C.PRIMARY_THRESHOLD,
+    ppl_tables=None,
+) -> DataFrame:
+    """The whole flagship as ONE python stage + native tail: parse,
+    score, assemble, langid, perplexity in the same worker; heuristics,
+    PII scrub and keep stay Catalyst-native. Byte-identical to
+    quality_chain(extract_pipeline(...)) — asserted in tests."""
+    from .quality import with_heuristics, with_keep, with_pii_scrub
+
+    df = extract_fused(
+        spark, web_pages, threshold=threshold,
+        with_langid_ppl=True, ppl_tables=ppl_tables,
+    )
+    return with_keep(with_pii_scrub(with_heuristics(df)))
 
 
 # ------------------------------------------------------- parity-shaped views
