@@ -14,6 +14,12 @@ per-partition manifests so a preempted run resumes mid-corpus.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# direct `python jobs/run_pipeline.py` runs resolve the library from the
+# repo; under spark-submit the --py-files zip takes precedence anyway
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
