@@ -705,6 +705,78 @@ def x4_lang_source_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# R — multi-join analytical queries (TPC-H-style shapes): exercises join
+# reordering, broadcast-vs-shuffle selection and partial aggregation the
+# way a warehouse workload would
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r1_revenue_by_segment",
+    """
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_mktsegment
+    """,
+)
+def r1_revenue_by_segment(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "r2_region_supplier_volume",
+    """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN supplier ON s_nationkey = n_nationkey
+    JOIN lineitem ON l_suppkey = s_suppkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size < 25
+    GROUP BY r_name, n_name
+    """,
+)
+def r2_region_supplier_volume(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 25)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("volume"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # E — the reference's eval harness (run_eval.py/evaluator.py) end-to-end,
 # with predictions/text_nodes/gold derived deterministically from the
 # documents table so DuckDB can replay the whole chain
