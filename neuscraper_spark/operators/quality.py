@@ -81,17 +81,36 @@ def _profiles() -> tuple[list[str], np.ndarray]:
     return _PROFILES
 
 
+def langid_scores_batch(texts, langs=None, mat=None) -> tuple[list[str], list[float]]:
+    """Batched langid: one [n_texts, BUCKETS] count matrix, ONE matmul.
+
+    This is the only implementation — the per-row twin wraps it — so the
+    Spark path and the single-process oracle share the exact float path.
+    """
+    if langs is None:
+        langs, mat = _profiles()
+    n = len(texts)
+    counts = np.zeros((n, LANGID_BUCKETS), dtype=np.float32)
+    for i, t in enumerate(texts):
+        counts[i] = _bucket_counts(t or "")
+    norms = np.linalg.norm(counts, axis=1, keepdims=True)
+    nonzero = norms[:, 0] > 0.0
+    unit = counts / np.maximum(norms, np.float32(1e-30))
+    sims = unit @ mat.T
+    exp = np.exp((sims - sims.max(axis=1, keepdims=True)) * np.float32(16.0))
+    probs = exp / exp.sum(axis=1, keepdims=True)
+    best = sims.argmax(axis=1)
+    preds = [langs[b] if ok else LANGID_UNKNOWN for b, ok in zip(best, nonzero)]
+    confs = [
+        round(float(probs[i, b]), 6) if ok else 0.0
+        for i, (b, ok) in enumerate(zip(best, nonzero))
+    ]
+    return preds, confs
+
+
 def langid_scores_py(text: str) -> tuple[str, float]:
-    langs, mat = _profiles()
-    vec = _bucket_counts(text or "")
-    n = float(np.linalg.norm(vec))
-    if n == 0.0:
-        return LANGID_UNKNOWN, 0.0
-    sims = mat @ (vec / n)
-    exp = np.exp((sims - sims.max()) * 16.0)
-    probs = exp / exp.sum()
-    best = int(np.argmax(sims))
-    return langs[best], round(float(probs[best]), 6)
+    preds, confs = langid_scores_batch([text or ""])
+    return preds[0], confs[0]
 
 
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -106,12 +125,8 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     @F.pandas_udf("struct<lang_pred:string,lang_conf:double>")
     def _langid(texts: pd.Series) -> pd.DataFrame:
-        out_lang, out_conf = [], []
-        for t in texts:
-            lang, conf = langid_scores_py(t or "")
-            out_lang.append(lang)
-            out_conf.append(conf)
-        return pd.DataFrame({"lang_pred": out_lang, "lang_conf": out_conf})
+        preds, confs = langid_scores_batch(texts, langs, mat)
+        return pd.DataFrame({"lang_pred": preds, "lang_conf": confs})
 
     res = df.withColumn("_lid", _langid(F.col(text_col)))
     return res.withColumn("lang_pred", F.col("_lid.lang_pred")).withColumn(
@@ -218,13 +233,28 @@ RULES = {
     "min_alpha_word_ratio": 0.7,
     "min_stopword_hits": 2,
 }
+
+# One EXPLICIT whitespace class shared by the Column and Python twins.
+# Java \s is ASCII-only while Python \s is Unicode (NBSP from &nbsp;
+# split differently and flipped n_words between engines), so neither
+# engine's \s is used — this class is Python 3's full str-\s set,
+# written as literal characters so both regex engines read it the same.
+WS_CHARS = (
+    " \t\n\r\f\x0b\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+WS_RE = "[" + WS_CHARS + "]+"
+# Symbol pattern — counted as MATCHES on both sides ('...' is one
+# symbol, not three removed characters).
+SYMBOL_RE = r"[#…]|\.\.\."
 STOPWORDS = ("the", "a", "be", "to", "of", "and", "that", "have", "with", "in",
              "is", "it", "on", "at", "by", "der", "und", "die", "le", "la",
              "de", "el", "en", "que")
 
 
 def _words(col: Column) -> Column:
-    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != F.lit(""))
+    return F.filter(F.split(col, WS_RE), lambda w: w != F.lit(""))
 
 
 def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -257,7 +287,7 @@ def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "_n_symbols",
-            F.length(text) - F.length(F.regexp_replace(text, r"[#…]|\.\.\.", "")),
+            F.size(F.regexp_extract_all(text, F.lit(SYMBOL_RE), F.lit(0))),
         )
         .withColumn(
             "_alpha_words",
@@ -309,11 +339,11 @@ def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def heuristics_py(text: str) -> dict:
     """Python twin of with_heuristics (same thresholds, same outputs)."""
-    words = [w for w in re.split(r"\s+", (text or "").strip()) if w]
+    words = [w for w in re.split(WS_RE, text or "") if w]
     n_words = len(words)
     total_chars = sum(len(w) for w in words)
     mean_wl = total_chars / max(n_words, 1)
-    n_symbols = len(re.findall(r"[#…]|\.\.\.", text or ""))
+    n_symbols = len(re.findall(SYMBOL_RE, text or ""))
     alpha_words = sum(1 for w in words if re.search(r"[A-Za-zÀ-ÿ]", w))
     toks = set(re.split(r"[^a-zà-ÿ']+", (text or "").lower()))
     stop_hits = sum(1 for s in STOPWORDS if s in toks)
@@ -346,7 +376,10 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
     ("cc", r"\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b", "<CC>"),
-    ("phone", r"\+?[0-9]{1,3}[ -.][0-9]{3}[ -.][0-9]{3,4}[ -.]?[0-9]{0,4}\b", "<PHONE>"),
+    # NB: the separator class is [ .\-] with the dash ESCAPED — an earlier
+    # draft wrote [ -.], a character RANGE 0x20-0x2E matching !"#$%&'()*+,
+    # which scrubbed strings like 12+345+6789 as phone numbers.
+    ("phone", r"\+?[0-9]{1,3}[ .\-][0-9]{3}[ .\-][0-9]{3,4}[ .\-]?[0-9]{0,4}\b", "<PHONE>"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
 )
 
@@ -429,13 +462,9 @@ def with_langid_ppl(spark, df: DataFrame, text_col: str = "text", ppl_tables=Non
     def run(batches):
         tables = bc.value
         for pdf in batches:
-            texts = pdf[text_col]
-            langs, confs, ppls = [], [], []
-            for t in texts:
-                lang, conf = langid_scores_py(t or "")
-                langs.append(lang)
-                confs.append(conf)
-                ppls.append(ppl_py(t, tables))
+            texts = pdf[text_col].tolist()
+            langs, confs = langid_scores_batch(texts)
+            ppls = [ppl_py(t, tables) for t in texts]
             out = pdf[cols].copy()
             out["lang_pred"] = langs
             out["lang_conf"] = confs

@@ -17,6 +17,12 @@ TEXTS = [
     "Contact me at john.doe@example.com or call +1 555-123-4567 now. " * 5,
     "My SSN is 123-45-6789 and my card is 4111 1111 1111 1111 and IP 192.168.0.1. " * 4,
     "This text mentions badword1 which should be flagged as toxic content here. " * 4,
+    # round-2 regression battery (ADVICE r1): ellipses counted as matches,
+    # Unicode whitespace in the word split, phone-class range bug.
+    "Well... it is that kind of a day… and the dots just keep coming on... " * 3,
+    "Words\xa0held\xa0by\xa0nbsp and the rest of the sentence is quite normal here today. " * 3,
+    "Mixed thin spaces and　ideographic　gaps with the usual words of the day. " * 3,
+    "The totals 12+345+6789 and 1%555%1234 are sums, but 1-555-123-4567 is a phone.",
 ]
 
 
@@ -94,6 +100,52 @@ def test_pii_scrub_replaces_everything():
 def test_toxicity_flag():
     assert Q.pii_scrub_py(TEXTS[9])["toxic_hits"] > 0
     assert not Q.pii_scrub_py(TEXTS[9])["toxicity_pass"]
+
+
+def test_symbols_counted_as_matches():
+    # '...' is ONE symbol match (not 3 removed chars); '…' is one too.
+    h = Q.heuristics_py("a b ... c … d .... e")
+    import re
+    assert len(re.findall(Q.SYMBOL_RE, "... … ....")) == 3
+    assert h["n_words"] == 8
+
+
+def test_unicode_whitespace_splits_words():
+    # NBSP and thin/ideographic spaces are word separators in BOTH twins.
+    assert Q.heuristics_py("a\xa0b")["n_words"] == 2
+    assert Q.heuristics_py("a b　c")["n_words"] == 3
+
+
+def test_phone_class_not_a_range():
+    out = Q.pii_scrub_py(TEXTS[13])
+    assert "12+345+6789" in out["scrubbed_text"]  # NOT scrubbed
+    assert "1%555%1234" in out["scrubbed_text"]  # NOT scrubbed
+    assert "1-555-123-4567" not in out["scrubbed_text"]  # scrubbed
+    assert "<PHONE>" in out["scrubbed_text"]
+
+
+def test_heuristics_twins_agree_fuzz(spark):
+    # Seeded adversarial corpus: symbols, every whitespace char, unicode
+    # letters, digits — twin agreement on all derived columns.
+    import random
+
+    rng = random.Random(1234)
+    atoms = ["word", "the", "de", "...", "…", "#", "zxq", "éàü", "12+345+6789",
+             "a", "Straße", "naïve", "x" * 30, "42"] + list(Q.WS_CHARS)
+    texts = [
+        "".join(rng.choice(atoms) for _ in range(rng.randint(0, 80)))
+        for _ in range(60)
+    ]
+    pdf = pd.DataFrame({"url": [f"f{i}" for i in range(len(texts))], "text": texts})
+    cols = [
+        "n_words", "mean_word_len", "rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_alpha_ratio", "rule_stopwords", "quality_pass",
+    ]
+    got = Q.with_heuristics(spark.createDataFrame(pdf)).select("url", *cols).toPandas()
+    for _, row in got.iterrows():
+        want = Q.heuristics_py(texts[int(row["url"][1:])])
+        for c in cols:
+            assert row[c] == want[c], (row["url"], c, row[c], want[c])
 
 
 def test_keep_combiner(spark, df):
