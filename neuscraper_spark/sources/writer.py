@@ -14,12 +14,25 @@ Layout for table root T:
     T/data/<partition_key>=<value>/part-*.parquet     (hive-style dirs)
     T/_manifests/partition=<value>.json               (committed units)
     T/_snapshots/snap-<n>.json                        (run-level summary)
+    T/_schema.json                                    (table schema)
 
 Resume protocol: a partition directory is visible iff its manifest
-exists; `resume_missing` filters the input to partitions without a
-manifest, so a killed job re-processes only incomplete partitions and
-reruns converge to identical tables (writes are deterministic functions
-of the partition's input rows).
+exists; resume filters the input to partitions without a manifest, so a
+killed job re-processes only incomplete partitions and reruns converge
+to identical tables (writes are deterministic functions of the
+partition's input rows).
+
+Single-execution contract: `write` runs the upstream plan EXACTLY once
+(the parquet write). Per-partition row counts come from the parquet
+footers of the files just written — metadata reads, no second pass —
+so the manifests describe the bytes actually on disk rather than a
+separate (and possibly divergent) recomputation. An earlier draft ran a
+groupBy().count().collect() before the write, executing the entire
+neural pipeline twice per job.
+
+Manifest/footer bookkeeping is driver-side filesystem I/O (os +
+pyarrow); on a real cluster this seam is exactly what an Iceberg/Delta
+catalog replaces with its own commit protocol.
 """
 
 from __future__ import annotations
@@ -28,10 +41,16 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# hive's directory name for a NULL partition value — reusing it makes the
+# manifest key match the directory the row actually lands in
+NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
 @dataclass
@@ -51,6 +70,10 @@ class TableWriter:
     def snapshot_dir(self) -> str:
         return os.path.join(self.root, "_snapshots")
 
+    @property
+    def schema_path(self) -> str:
+        return os.path.join(self.root, "_schema.json")
+
     # ------------------------------------------------------------- manifests
 
     def committed_partitions(self) -> set[str]:
@@ -64,6 +87,26 @@ class TableWriter:
 
     def _manifest_path(self, value: str) -> str:
         return os.path.join(self.manifest_dir, f"partition={value}.json")
+
+    def _pstr(self) -> F.Column:
+        """Partition value as the string used in manifests — NULL-safe:
+        ~isin(done) on a raw column evaluates to NULL for NULL rows and
+        silently drops them from every write; coalescing to the hive
+        default-partition name keeps them in the resume protocol."""
+        return F.coalesce(F.col(self.partition_col).cast("string"), F.lit(NULL_PARTITION))
+
+    def _data_partitions(self) -> dict[str, str]:
+        """{manifest partition value: directory path} for every hive dir
+        under data/ (dir names are percent-escaped by the writer)."""
+        prefix = f"{self.partition_col}="
+        out = {}
+        if os.path.isdir(self.data_dir):
+            for name in os.listdir(self.data_dir):
+                if name.startswith(prefix) and os.path.isdir(os.path.join(self.data_dir, name)):
+                    out[urllib.parse.unquote(name[len(prefix):])] = os.path.join(
+                        self.data_dir, name
+                    )
+        return out
 
     # ---------------------------------------------------------------- write
 
@@ -84,31 +127,41 @@ class TableWriter:
             for name in list(os.listdir(self.manifest_dir)):
                 os.unlink(os.path.join(self.manifest_dir, name))
 
-        todo = df.filter(~F.col(pcol).cast("string").isin(*done) if done else F.lit(True))
+        todo = df.filter(~self._pstr().isin(*done) if done else F.lit(True))
 
-        # per-partition metrics computed in the same pass footprint as
-        # the write (one extra agg job over the filtered input)
-        metrics_rows = (
-            todo.groupBy(F.col(pcol).cast("string").alias("p"))
-            .agg(F.count("*").alias("n_rows"))
-            .collect()
-        )
-        metrics = {r["p"]: {"n_rows": r["n_rows"]} for r in metrics_rows}
+        # persist the table schema so read() on an empty/fresh table
+        # returns real columns, not just the partition column
+        tmp = self.schema_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(json.loads(df.schema.json()), f)
+        os.replace(tmp, self.schema_path)
 
         # clear uncommitted leftovers (a crash after data-write but
-        # before manifest-commit leaves orphan files) so the re-append
-        # below cannot double rows
-        for p in metrics:
-            leftover = os.path.join(self.data_dir, f"{pcol}={p}")
-            if os.path.isdir(leftover):
-                shutil.rmtree(leftover)
+        # before manifest-commit leaves orphan files) so the append
+        # below cannot double rows — any unmanifested dir is an orphan
+        for p, pdir in self._data_partitions().items():
+            if p not in self.committed_partitions():
+                shutil.rmtree(pdir)
 
-        if metrics:
-            (
-                todo.write.mode("append")
-                .partitionBy(pcol)
-                .parquet(self.data_dir)
-            )
+        # THE single execution of the upstream plan
+        todo.write.mode("append").partitionBy(pcol).parquet(self.data_dir)
+
+        # metrics from the parquet footers of the files just written —
+        # metadata-only reads, no second pass over the data
+        import pyarrow.parquet as pq
+
+        committed_before = self.committed_partitions()
+        metrics: dict[str, dict] = {}
+        for p, pdir in self._data_partitions().items():
+            if p in committed_before:
+                continue
+            n_rows, files = 0, []
+            for fn in sorted(os.listdir(pdir)):
+                if fn.endswith(".parquet"):
+                    fmeta = pq.ParquetFile(os.path.join(pdir, fn)).metadata
+                    n_rows += fmeta.num_rows
+                    files.append({"file": fn, "rows": fmeta.num_rows})
+            metrics[p] = {"n_rows": n_rows, "files": files}
 
         # commit manifests AFTER the data lands (write tmp, fsync,
         # rename): a crash in between leaves the partition uncommitted
@@ -119,11 +172,12 @@ class TableWriter:
             tmp = path + ".tmp"
             payload = {
                 "partition": p,
-                "metrics": m,
+                "metrics": {"n_rows": m["n_rows"]},
                 "lineage": {
                     "written_at": time.time(),
                     "partition_col": pcol,
                     "mode": mode,
+                    "files": m["files"],
                 },
             }
             with open(tmp, "w") as f:
@@ -149,12 +203,29 @@ class TableWriter:
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Committed partitions only — uncommitted data files (from a
-        crashed run) are invisible, like an Iceberg snapshot read."""
+        crashed run) are invisible, like an Iceberg snapshot read.
+
+        Returns the persisted table schema (column order and the
+        partition column's original type) even when no partition is
+        committed yet."""
+        saved = None
+        if os.path.exists(self.schema_path):
+            with open(self.schema_path) as f:
+                saved = StructType.fromJson(json.load(f))
         done = self.committed_partitions()
         if not done:
+            if saved is not None:
+                return spark.createDataFrame([], schema=saved)
             return spark.createDataFrame([], schema=f"{self.partition_col} string")
-        df = spark.read.parquet(self.data_dir)
-        return df.filter(F.col(self.partition_col).cast("string").isin(*done))
+        df = spark.read.parquet(self.data_dir).filter(self._pstr().isin(*done))
+        if saved is not None:
+            # partition-dir inference may re-type the partition column
+            # (e.g. string '3' read back as int) and moves it last;
+            # restore the written schema
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in saved.fields]
+            )
+        return df
 
     def partition_metrics(self) -> dict[str, dict]:
         out = {}
@@ -164,12 +235,19 @@ class TableWriter:
         return out
 
 
-def salted_repartition(df: DataFrame, key_col: str, n_partitions: int, salt: int = 8) -> DataFrame:
+def salted_repartition(
+    df: DataFrame, key_col: str, n_partitions: int, salt: int = 8, salt_col: str | None = None
+) -> DataFrame:
     """Spread a skewed key (e.g. url host) over `salt` subpartitions:
     repartition(n, key, pmod(hash(row-unique), salt)) — the zipf-head
-    host no longer pins one task (BASELINE.json:14 skew handling)."""
+    host no longer pins one task (BASELINE.json:14 skew handling).
+
+    The salt hashes ONE cheap row-unique value — a named column if
+    given, else monotonically_increasing_id() — an earlier draft hashed
+    every column including 100KB html blobs just to derive 3 bits."""
+    salt_src = F.col(salt_col) if salt_col else F.monotonically_increasing_id()
     return df.repartition(
-        n_partitions, F.col(key_col), F.pmod(F.hash(*df.columns), F.lit(salt))
+        n_partitions, F.col(key_col), F.pmod(F.hash(salt_src), F.lit(salt))
     )
 
 

@@ -58,6 +58,60 @@ def test_writer_uncommitted_invisible_and_recovered(spark, docs_df, tmp_path):
     assert w.read(spark).count() == 100
 
 
+def test_writer_executes_upstream_exactly_once(spark, tmp_path):
+    # r1 fix: metrics used to come from a pre-write collect(), running the
+    # whole upstream plan (the neural pipeline in production) twice.
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def tick(s):
+        acc.add(1)
+        return s
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("bucket"),
+        tick(F.concat(F.lit("text-"), F.col("id"))).alias("text"),
+    )
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    snap = w.write(df)
+    assert snap["rows_written"] == 100
+    assert acc.value == 100, f"upstream executed {acc.value / 100:.1f}x"
+
+
+def test_writer_null_partition_kept(spark, tmp_path):
+    # r1 fix: ~isin(done) is NULL for NULL partition values, which
+    # silently dropped those rows from every resume write.
+    df = spark.createDataFrame(
+        [("a", None), ("b", "1"), ("c", None)], "text string, bucket string"
+    )
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    snap = w.write(df)
+    assert snap["rows_written"] == 3
+    assert w.read(spark).count() == 3
+    snap2 = w.write(df)  # resume: NULL partition already committed
+    assert snap2["rows_written"] == 0 and snap2["committed_now"] == []
+    assert w.read(spark).count() == 3
+
+
+def test_writer_empty_read_has_table_schema(spark, docs_df, tmp_path):
+    # r1 fix: read() on a table with no committed partitions returned a
+    # partition-col-only schema, breaking downstream column references.
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(docs_df.filter("1=0"))
+    back = w.read(spark)
+    assert back.count() == 0
+    assert back.columns == docs_df.columns
+    assert back.schema == docs_df.schema
+    # and a populated read() restores column order + partition-col type
+    # (nullability is parquet's, hence compare names + types)
+    w.write(docs_df)
+    got = w.read(spark).schema
+    assert [(f.name, f.dataType) for f in got.fields] == [
+        (f.name, f.dataType) for f in docs_df.schema.fields
+    ]
+
+
 def test_salted_repartition_spreads_skew(spark):
     df = spark.range(0, 2000).select(
         F.when(F.col("id") < 1900, F.lit("https://hot.example/x"))
