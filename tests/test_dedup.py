@@ -45,6 +45,20 @@ def test_ngram_jaccard_finds_near_dups(spark, docs):
     assert j01 == 1.0
 
 
+def test_ngram_df_cap_prunes_ubiquitous_grams(spark):
+    # Every doc opens with the same stop-phrase gram; only its grams
+    # above the cap are pruned from the JOIN side, so (a) docs whose
+    # only overlap is the stop-phrase stop pairing, and (b) per-doc
+    # sizes stay exact (jaccard is a lower bound, not rescaled).
+    stop = "click here now"
+    rows = [(i, f"{stop} unique tail number {i} item{i} thing{i} stuff{i}") for i in range(6)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    uncapped = D.ngram_jaccard_pairs(docs, threshold=0.0, df_cap=1000).toPandas()
+    assert len(uncapped) == 15  # all C(6,2) pairs share the stop gram
+    capped = D.ngram_jaccard_pairs(docs, threshold=0.0, df_cap=3).toPandas()
+    assert len(capped) == 0  # stop gram df=6 > 3 -> no candidates at all
+
+
 def test_minhash_estimates_jaccard(spark, docs):
     pairs = D.minhash_lsh_pairs(docs, threshold=0.3).toPandas()
     found = {tuple(r[:2]): r[2] for r in pairs[["id_a", "id_b", "est_jaccard"]].values.tolist()}

@@ -59,6 +59,15 @@ def test_quality_chain_single_python_stage(spark, wp_parquet):
     assert "BatchEvalPython" not in plan  # no row-at-a-time python, ever
 
 
+def test_dedup_plans_no_nested_loop_join(spark):
+    # d5 registers the LSH path and d2 is gram-equi-join: neither may
+    # fall back to a quadratic BroadcastNestedLoopJoin (r1 fix).
+    for q in ("d5_embedding_neardup", "d2_ngram_jaccard"):
+        plan = plan_of(all_queries()[q](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
 def test_whole_stage_codegen_on_native_queries(spark):
     plan = plan_of(all_queries()["x2_quality_score"](spark, SF_DIR))
     assert "*(" in plan  # WholeStageCodegen stage marker in compact plans
