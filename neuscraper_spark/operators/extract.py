@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import config as C
+from ..functions.encoding import decode_html
 from ..functions.text import strip_ws_py
 from ..html_parser import parse_nodes as _parse_html
 from ..model import load_weights, score_chunks, shm_cache_weights
@@ -73,10 +74,9 @@ def _page_sequence(html_bytes: bytes) -> list[dict]:
     text-node side additionally requires non-empty, build.py:155-165 —
     captured by ``is_text_node``).
     """
-    try:
-        html = html_bytes.decode("utf-8", errors="strict")
-    except (UnicodeDecodeError, AttributeError):
-        # F2: undecodable page -> dropped (src/warc/build.py:124-131)
+    html = decode_html(html_bytes)
+    if html is None:
+        # F2: undecodable/binary page -> dropped (src/warc/build.py:124-131)
         return []
     rows = []
     seq_pos = 0
@@ -282,7 +282,7 @@ def extract_fused(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w = shm_cache_weights(bc.value, tag=C.WEIGHTS_TAG)
         if with_langid_ppl:
-            from .quality import langid_scores_py, ppl_py
+            from .quality import langid_scores_batch, ppl_py
 
             tables = bc_ppl.value
         for pdf in batches:
@@ -309,15 +309,10 @@ def extract_fused(
                     texts.append("".join(t for _, t in parts))
             out = pd.DataFrame({"url": urls, "text": texts})
             if with_langid_ppl:
-                langs, confs, ppls = [], [], []
-                for t in texts:
-                    lang, conf = langid_scores_py(t)
-                    langs.append(lang)
-                    confs.append(conf)
-                    ppls.append(ppl_py(t, tables))
+                langs, confs = langid_scores_batch(texts)
                 out["lang_pred"] = langs
                 out["lang_conf"] = confs
-                out["ppl"] = ppls
+                out["ppl"] = [ppl_py(t, tables) for t in texts]
             yield out
 
     schema = EXTRACTED_DDL

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from .. import config as C
+from ..functions.encoding import decode_html
 from ..functions.text import strip_ws_py
 from ..html_parser import _Elem, _compute_texts, _first_element, _instrument, _parse_tree
 from ..tokenizer import tokenize
@@ -46,11 +47,9 @@ def _labels_from_ancestors(tags: frozenset) -> list[int]:
 def gold_rows_for_page(html: bytes | str) -> list[dict]:
     """Sequence-member rows with node_id, stripped text, token ids,
     labels[6] and judgment_is_primary — one parse, document order."""
-    if isinstance(html, bytes):
-        try:
-            html = html.decode("utf-8")
-        except UnicodeDecodeError:
-            return []
+    html = decode_html(html)
+    if html is None:
+        return []
     root = _first_element(_parse_tree(html))
     if root is None:
         return []
@@ -73,8 +72,10 @@ def gold_rows_for_page(html: bytes | str) -> list[dict]:
                     "node_id": el.node_id,
                     "text": stripped,
                     "labels": _labels_from_ancestors(tags),
-                    "is_text_node": bool(is_text and stripped)
-                    or (el.tag in C.SEQ_ELEMENT_TAGS and bool(stripped)),
+                    # within `member`, text nodes always have non-empty
+                    # stripped text; element members need it checked —
+                    # bool(stripped) covers both (extract.py F4 form)
+                    "is_text_node": bool(stripped),
                 }
             )
         # reversed children + LIFO pop = document (pre-order) emission

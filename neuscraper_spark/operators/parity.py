@@ -16,8 +16,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from .. import config as C
-from ..html_parser import parse_nodes as _parse_html
+from ..functions.encoding import decode_html
 from ..functions.text import strip_ws_py
+from ..html_parser import parse_nodes as _parse_html
 from ..tokenizer import tokenize
 
 
@@ -25,9 +26,8 @@ def page_chunk_jsons(url: str, html: bytes) -> list[str]:
     """Pure-python per-page chunk JSON lines (shared with tests)."""
     import json
 
-    try:
-        text = html.decode("utf-8")
-    except (UnicodeDecodeError, AttributeError):
+    text = decode_html(html)
+    if text is None:
         return []
     node_ids, token_rows = [], []
     for node in _parse_html(text):

@@ -35,7 +35,7 @@ from ..html_parser import _Elem, _compute_texts, _first_element, _instrument, _p
 # standard HTML element categories (reference: AnnotateHtmlApi.py:15-23)
 INLINE_ELEMENT = frozenset(
     "a abbr acronym b bdo big br cite code dfn em i img input kbd label map "
-    "object q samp small span strong sub sup textarea time tt var".split()
+    "object q samp script small span strong sub sup textarea time tt var".split()
 )
 BLOCK_ELEMENT = frozenset(
     "address article aside blockquote canvas dd div dl dt fieldset figcaption "

@@ -332,21 +332,26 @@ def w2_row_number(spark, sf_dir):
 @query(
     "w3_fixed_chunk",
     """
-    SELECT chunk_id, count(*) AS n, min(rn) AS first_rn, max(rn) AS last_rn FROM (
-      SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 384) AS INT) AS chunk_id,
-             row_number() OVER (ORDER BY event_id) AS rn
-      FROM events) GROUP BY chunk_id
+    SELECT event_type, chunk_id, count(*) AS n, min(rn) AS first_rn, max(rn) AS last_rn FROM (
+      SELECT event_type,
+             CAST(floor((row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1) / 384) AS INT) AS chunk_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+      FROM events) GROUP BY event_type, chunk_id
     """,
 )
 def w3_fixed_chunk(spark, sf_dir):
     # W3/T3: fixed-size positional chunking — floor(seq/384), the
-    # reference's _chunk_nodes (build.py:25-35)
-    w = Window.orderBy("event_id")
+    # reference's _chunk_nodes (build.py:25-35). PARTITIONED window: the
+    # production pipeline chunks per-url; this battery entry chunks per
+    # event_type for the same reason — an unpartitioned
+    # Window.orderBy is a single-task global sort, a plan that must not
+    # appear anywhere at 100x (r1 plan-audit fix).
+    w = Window.partitionBy("event_type").orderBy("event_id")
     return (
         _t(spark, sf_dir, "events")
         .withColumn("rn", F.row_number().over(w))
         .withColumn("chunk_id", F.floor((F.col("rn") - 1) / 384).cast("int"))
-        .groupBy("chunk_id")
+        .groupBy("event_type", "chunk_id")
         .agg(F.count("*").alias("n"), F.min("rn").alias("first_rn"), F.max("rn").alias("last_rn"))
     )
 
@@ -506,6 +511,59 @@ def c7_cast(spark, sf_dir):
         .filter(F.col("l_orderkey") < 1000)
         .select("l_orderkey", "l_linenumber", F.col("l_quantity").cast("int").alias("qty_int"))
     )
+
+
+@query(
+    "c8_to_json",
+    """
+    SELECT o_orderkey,
+           to_json(struct_pack(k := o_orderkey, s := o_orderstatus,
+                               p := round(o_totalprice, 2)))::VARCHAR AS js
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def c8_to_json(spark, sf_dir):
+    # C8 — NATIVE JSON encoding (struct field order pins key order; both
+    # engines emit compact separators, verified byte-equal by the hash).
+    # The chunk-file encoder built on this is sources/chunks.py
+    # :encode_chunks_json_native (byte-compat pytest vs the reference
+    # format in tests/test_chunks_encoding.py).
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("s"),
+                F.round("o_totalprice", 2).alias("p"),
+            )
+        ).alias("js"),
+    )
+
+
+@query("s5_encoded_inference", None)  # model-driven scoring -> rows-only;
+# round-trip equality vs the main pipeline is pinned by
+# tests/test_chunks_encoding.py::test_encoded_chunk_roundtrip_scores_match_pipeline
+def s5_encoded_inference(spark, sf_dir):
+    """S5 — the drop-in inference story: reference-format encoded-chunk
+    JSON files (written here from the deterministic corpus, as a real
+    user's encoded/*.json would be) -> schema'd reader -> scored
+    Primary@0.9 prediction rows (inference.py:13-28,77-144)."""
+    import hashlib
+    import os
+
+    from .corpus import web_pages_from_documents
+    from .operators.parity import encode_chunks_json
+    from .sources.chunks import read_encoded_chunks, score_encoded_chunks
+
+    enc_dir = os.path.join(
+        "/tmp", f"ns_enc_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    )
+    if not os.path.isdir(enc_dir):
+        encode_chunks_json(web_pages_from_documents(spark, sf_dir)).select(
+            "json_line"
+        ).write.mode("overwrite").text(enc_dir)
+    return score_encoded_chunks(spark, read_encoded_chunks(spark, enc_dir))
 
 
 # ---------------------------------------------------------------------------

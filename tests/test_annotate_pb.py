@@ -1,0 +1,65 @@
+"""S2 — AnnotateHtml wire-format parser round-trips + Spark zip source."""
+
+import zipfile
+
+import pytest
+
+from neuscraper_spark.sources.annotate_pb import (
+    ANNOTATION_TYPES,
+    annotations_from_zip,
+    encode_annotate_html,
+    parse_annotate_html,
+)
+
+REC = {
+    "url": "https://example.com/page?q=1",
+    "urlhash": "ABCD1234",
+    "language": "en",
+    "topics": ["news", "tech"],
+    "html": b"<html><body><p>hello</p></body></html>",
+    "annotations": [(5, 1), (9, 2), (300, 6), (70000, 1)],
+    "cw22id": "clueweb22-en0001-01-00001",
+}
+
+
+def test_roundtrip():
+    got = parse_annotate_html(encode_annotate_html(REC))
+    assert got == REC
+
+
+def test_unknown_fields_skipped():
+    # append an unknown varint field (no 15) and a fixed64 (no 16) — the
+    # parser must skip both, as proto3 requires
+    extra = bytes([15 << 3]) + b"\x2a" + bytes([(16 << 3) | 1]) + b"\x00" * 8
+    got = parse_annotate_html(encode_annotate_html(REC) + extra)
+    assert got == REC
+
+
+def test_multibyte_varints():
+    rec = dict(REC, annotations=[(2**20 + 3, 6)])
+    got = parse_annotate_html(encode_annotate_html(rec))
+    assert got["annotations"] == [(2**20 + 3, 6)]
+
+
+def test_empty_message():
+    got = parse_annotate_html(b"")
+    assert got["url"] == "" and got["annotations"] == []
+
+
+def test_zip_source(spark, tmp_path):
+    zp = str(tmp_path / "en0001-01.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        for i in range(5):
+            rec = dict(
+                REC,
+                url=f"https://example.com/{i}",
+                cw22id=f"clueweb22-en0001-01-{i:05d}",
+                annotations=[(i + 1, 1), (i + 2, 4)],
+            )
+            z.writestr(f"clueweb22-en0001-01-{i:05d}.bin", encode_annotate_html(rec))
+    df = annotations_from_zip(spark, zp).toPandas()
+    assert len(df) == 10
+    assert set(df["ann_type"]) == {"Primary", "Paragraph"}
+    one = df[df["cw22id"] == "clueweb22-en0001-01-00003"]
+    assert sorted(zip(one["node_id"], one["ann_type"])) == [(4, "Primary"), (5, "Paragraph")]
+    assert ANNOTATION_TYPES[1] == "Primary"

@@ -34,6 +34,16 @@ def test_inline_same_block_no_separator():
     assert S.get_text_separator(by["bold"], by["italic"]) == ""
 
 
+def test_script_is_inline_element():
+    # C6 parity: the reference's INLINE_ELEMENT includes "script"
+    # (AnnotateHtmlApi.py:15) — a <script> between text nodes must take
+    # the inline branch of the separator calculus, not the block branch.
+    assert "script" in S.INLINE_ELEMENT
+    html = '<html><body><p><b>a</b><script src="x.js"></script><b>b</b></p></body></html>'
+    _, _, by = _graph(html)
+    assert S.get_text_separator(by["a"], by["b"]) == ""
+
+
 def test_trailing_space_gives_space():
     html = "<html><body><p><b>bold </b><i>italic</i></p></body></html>"
     _, _, by = _graph(html)
