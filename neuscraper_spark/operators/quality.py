@@ -234,17 +234,27 @@ RULES = {
     "min_stopword_hits": 2,
 }
 
-# One EXPLICIT whitespace class shared by the Column and Python twins.
-# Java \s is ASCII-only while Python \s is Unicode (NBSP from &nbsp;
-# split differently and flipped n_words between engines), so neither
-# engine's \s is used — this class is Python 3's full str-\s set,
-# written as literal characters so both regex engines read it the same.
+# ONE whitespace definition shared by the Column and Python twins: the
+# Unicode White_Space property (what Java's (?U)\\s matches — verified
+# char-by-char against Spark). Java default \\s is ASCII-only while
+# Python \\s is Unicode (NBSP from &nbsp; split differently and flipped
+# n_words between engines), so the set is pinned explicitly.
+#
+# The JAVA side must use the (?U)\\s property form, NEVER an explicit
+# [chars] class: Java compiles a multi-char class into a chain of
+# per-character union lambdas evaluated per input char — measured ~50s
+# of cold-JIT cost on the flagship tail (re-paid per fresh codegen
+# class) vs milliseconds for the property form. The PYTHON side must
+# use the explicit class (Python \\s additionally matches \\x1c-\\x1f,
+# which White_Space does not; explicit classes are bitmap-fast there).
 WS_CHARS = (
-    " \t\n\r\f\x0b\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+    " \t\n\r\f\x0b\x85\xa0\u1680"
     "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
     "\u2028\u2029\u202f\u205f\u3000"
 )
-WS_RE = "[" + WS_CHARS + "]+"
+WS_RE = "[" + WS_CHARS + "]+"          # python twin
+JAVA_WS_RE = r"(?U)\s+"                # Column twin
+JAVA_WS_TRIM_RE = r"(?U)^\s+|\s+$"
 # Symbol pattern — counted as MATCHES on both sides ('...' is one
 # symbol, not three removed characters).
 SYMBOL_RE = r"[#…]|\.\.\."
@@ -253,7 +263,18 @@ STOPWORDS = ("the", "a", "be", "to", "of", "and", "that", "have", "with", "in",
              "de", "el", "en", "que")
 
 
+# word-with-a-letter matcher: non-whitespace tokens can't cross
+# whitespace, so non-overlapping matches == words containing >=1 letter
+# (both engines leftmost-greedy). Lets alpha_words be ONE
+# regexp_extract_all instead of a lambda filter over the split array.
+# Java form uses (?U)\S (see WS_CHARS note); Python form the class.
+ALPHA_WORD_RE = "[^" + WS_CHARS + "]*[A-Za-zÀ-ÿ][^" + WS_CHARS + "]*"
+JAVA_ALPHA_WORD_RE = r"(?U)\S*[A-Za-zÀ-ÿ]\S*"
+
+
 def _words(col: Column) -> Column:
+    """Word array (twin of the Python split) — TEST/ORACLE surface only;
+    the hot path below never materializes it."""
     return F.filter(F.split(col, WS_RE), lambda w: w != F.lit(""))
 
 
@@ -261,21 +282,37 @@ def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds per-rule booleans + ``quality_pass`` as native expressions —
     whole-stage-codegen'd, no Python (SURVEY.md §2 F11).
 
-    Expression hygiene matters as much as operator choice: the word
-    split is computed ONCE into a helper column and every rule reads the
-    derived scalars (a first draft that re-derived ``split(trim(text))``
-    inside each rule cost ~10ms/row — 20+ regex splits per row once
-    Catalyst expanded the tree). Stopword hits use one
-    array_intersect instead of per-stopword array_contains scans.
+    Expression hygiene matters as much as operator choice — two lessons
+    are baked in:
+    (1) every rule reads staged scalar columns, never re-deriving the
+        split (a draft that re-derived ``split(text)`` per rule cost
+        ~10ms/row once Catalyst expanded the tree);
+    (2) NO higher-order functions (filter/aggregate/transform lambdas)
+        anywhere in this chain: HOF expressions are interpreted, fall
+        out of whole-stage codegen and block subexpression elimination,
+        so when predicate pushdown duplicates the tree into a Filter the
+        duplicates each re-run — measured 4x wall on the flagship tail
+        (20s -> 5s at local[24] from this rewrite alone). Word stats are
+        computed with plain split/regexp_replace/regexp_extract_all:
+          n_words     = size(split(trim_ws(text)))        (0 when empty)
+          total_chars = length(text with all ws removed)  (== Σ|word|)
+          alpha_words = count of ALPHA_WORD_RE matches
+        Stopword hits use one array_intersect instead of per-stopword
+        array_contains scans.
     """
     r = RULES
     text = F.col(text_col)
+    trimmed = F.regexp_replace(text, JAVA_WS_TRIM_RE, "")
     df = (
-        df.withColumn("_words", _words(text))
-        .withColumn("n_words", F.size("_words"))
+        df.withColumn(
+            "n_words",
+            F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+                F.size(F.split(trimmed, JAVA_WS_RE))
+            ),
+        )
         .withColumn(
             "_total_chars",
-            F.aggregate("_words", F.lit(0), lambda acc, w: acc + F.length(w)),
+            F.length(F.regexp_replace(text, JAVA_WS_RE, "")),
         )
         .withColumn(
             "mean_word_len",
@@ -291,7 +328,7 @@ def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "_alpha_words",
-            F.size(F.filter("_words", lambda w: w.rlike("[A-Za-zÀ-ÿ]"))),
+            F.size(F.regexp_extract_all(text, F.lit(JAVA_ALPHA_WORD_RE), F.lit(0))),
         )
         .withColumn(
             "_stop_hits",
@@ -338,13 +375,19 @@ def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def heuristics_py(text: str) -> dict:
-    """Python twin of with_heuristics (same thresholds, same outputs)."""
-    words = [w for w in re.split(WS_RE, text or "") if w]
+    """Python twin of with_heuristics (same thresholds, same formulas).
+
+    Word stats mirror the Column formulas exactly; tests additionally
+    pin that they equal the split-array definitions (n_words == number
+    of non-empty split tokens, total_chars == Σ|word|, alpha_words ==
+    words containing a letter)."""
+    text = text or ""
+    words = [w for w in re.split(WS_RE, text) if w]
     n_words = len(words)
-    total_chars = sum(len(w) for w in words)
+    total_chars = len(re.sub(WS_RE, "", text))
     mean_wl = total_chars / max(n_words, 1)
-    n_symbols = len(re.findall(SYMBOL_RE, text or ""))
-    alpha_words = sum(1 for w in words if re.search(r"[A-Za-zÀ-ÿ]", w))
+    n_symbols = len(re.findall(SYMBOL_RE, text))
+    alpha_words = len(re.findall(ALPHA_WORD_RE, text))
     toks = set(re.split(r"[^a-zà-ÿ']+", (text or "").lower()))
     stop_hits = sum(1 for s in STOPWORDS if s in toks)
     r = RULES

@@ -124,6 +124,26 @@ def test_phone_class_not_a_range():
     assert "<PHONE>" in out["scrubbed_text"]
 
 
+def test_word_stat_formulas_equal_definitions():
+    # The hot path computes word stats WITHOUT materializing the word
+    # array (regexp formulas, no higher-order functions); pin that the
+    # formulas equal the definitional forms on adversarial strings.
+    import re
+    import random
+
+    rng = random.Random(99)
+    atoms = ["word", "123", "a1b", "...", "…", "#", "é", "ab-cd", "'", "x"] + list(Q.WS_CHARS)
+    for _ in range(300):
+        s = "".join(rng.choice(atoms) for _ in range(rng.randint(0, 40)))
+        words = [w for w in re.split(Q.WS_RE, s) if w]
+        h = Q.heuristics_py(s)
+        assert h["n_words"] == len(words), repr(s)
+        total = sum(len(w) for w in words)
+        alpha = sum(1 for w in words if re.search(r"[A-Za-zÀ-ÿ]", w))
+        assert len(re.sub(Q.WS_RE, "", s)) == total, repr(s)
+        assert len(re.findall(Q.ALPHA_WORD_RE, s)) == alpha, repr(s)
+
+
 def test_heuristics_twins_agree_fuzz(spark):
     # Seeded adversarial corpus: symbols, every whitespace char, unicode
     # letters, digits — twin agreement on all derived columns.
