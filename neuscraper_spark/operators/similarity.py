@@ -109,6 +109,125 @@ def lsh_signatures(
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    seed: int = 11,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """IVF train phase: spherical k-means on a deterministic sample
+    (public design: Jégou et al. 2011, IVFFlat; Faiss trains on a
+    driver-side sample the same way). Returns L2-normalized
+    [n_centroids, dim] float32 — broadcastable constant state.
+
+    The sample is id-keyed (every ceil(N/sample)-th id), not a random
+    split, so training is reproducible across runs and cluster sizes.
+    """
+    n_total = emb.count()
+    stride = max(1, n_total // sample)
+    rows = (
+        emb.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float32)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-9)
+    k = min(n_centroids, len(X))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ cents.T).argmax(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-9)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Adds `cell` (one row per probed cell). nprobe=1 for the corpus
+    side (each vector lives in its nearest cell); queries probe the
+    nprobe nearest cells. One numpy matmul per Arrow batch."""
+    cents = centroids
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"id": [], "vec": [], "cell": []})
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float32)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-9)
+            sims = Xn @ cents.T  # [n, k]
+            top = np.argsort(-sims, axis=1)[:, :nprobe]  # deterministic order
+            ids, vecs, cells = [], [], []
+            for i in range(len(X)):
+                for c in top[i]:
+                    ids.append(pdf[id_col].iloc[i])
+                    vecs.append(pdf[vec_col].iloc[i])
+                    cells.append(int(c))
+            yield pd.DataFrame({"id": ids, "vec": vecs, "cell": cells})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, schema="id long, vec array<float>, cell int"
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-Flat ANN top-k: corpus partitioned into centroid cells
+    (narrow assign stage), queries probe their nprobe nearest cells,
+    candidates joined natively on `cell`, exact cosine rerank.
+
+    Scale path: the cell equi-join scans ~nprobe/n_centroids of the
+    corpus per query instead of all of it, and the `cell` column is a
+    natural partition/bucket key for a stored index table (repartition
+    by cell == co-located cells)."""
+    cents = train_ivf_centroids(
+        emb, n_centroids=n_centroids, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+    corpus_cells = ivf_assign(emb, cents, nprobe=1, vec_col=vec_col, id_col=id_col)
+    q_src = queries.select(F.col("qid").alias(id_col), F.col("qvec").alias(vec_col))
+    q_cells = ivf_assign(q_src, cents, nprobe=nprobe, vec_col=vec_col, id_col=id_col)
+    q_cells = q_cells.withColumnsRenamed({"id": "qid", "vec": "qvec"})
+    cand = (
+        corpus_cells.join(
+            F.broadcast(q_cells),
+            (corpus_cells["cell"] == q_cells["cell"])
+            & (corpus_cells["id"] != q_cells["qid"]),
+        )
+        .select("qid", "qvec", F.col("id").alias("nid"), F.col("vec").alias("nvec"))
+        .dropDuplicates(["qid", "nid"])
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(_dot("nvec", "qvec") / (_norm("nvec") * _norm("qvec")), 6)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cosine", "rank")
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -700,6 +700,15 @@ def s2_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(emb, queries_from_ids(emb, range(5)), k=10)
 
 
+@query("s3_ann_ivf_topk", None)  # rows-only; recall gated by tests
+def s3_ann_ivf_topk(spark, sf_dir):
+    # IVF-Flat: spherical-kmeans cells + nprobe cell join + exact rerank
+    from .operators.similarity import ann_ivf_topk, queries_from_ids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, queries_from_ids(emb, range(5)), k=10)
+
+
 # ---------------------------------------------------------------------------
 # X — text analysis
 # ---------------------------------------------------------------------------
