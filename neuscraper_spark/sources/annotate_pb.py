@@ -148,6 +148,63 @@ def encode_annotate_html(rec: dict) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------- gold-label ingestion
+
+
+def gold_from_zip(spark, zip_path: str):
+    """ClueWeb22 vdom zip -> the reference's GoldLabels shape
+    (url, text_node_id, text, judgment_is_primary).
+
+    Mirrors src/build_test.py:148-176: parse the record's htmlByte into
+    text-node rows (the repo's labels machinery), tag each node Primary
+    iff its node id appears in the record's Primary annotations
+    (annotation_to_nodeids[1]). Output feeds operators/evaluate.py
+    directly."""
+    import zipfile
+
+    import pandas as pd
+
+    with zipfile.ZipFile(zip_path) as z:
+        names = sorted(z.namelist())
+    names_df = spark.createDataFrame(
+        pd.DataFrame({"member": names})
+    ).repartition(max(1, min(len(names), 64)))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from ..operators.labels import gold_rows_for_page
+
+        with zipfile.ZipFile(zip_path) as z:
+            for pdf in batches:
+                rows = []
+                for member in pdf["member"]:
+                    rec = parse_annotate_html(z.read(member))
+                    if not rec["html"]:
+                        continue
+                    primary_ids = {nid for nid, t in rec["annotations"] if t == 1}
+                    for r in gold_rows_for_page(rec["html"]):
+                        if r["is_text_node"]:
+                            rows.append(
+                                {
+                                    "url": rec["url"],
+                                    "text_node_id": r["node_id"],
+                                    "text": r["text"],
+                                    "judgment_is_primary": r["node_id"] in primary_ids,
+                                }
+                            )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["url", "text_node_id", "text", "judgment_is_primary"],
+                )
+
+    return names_df.mapInPandas(
+        run,
+        schema=(
+            "url string, text_node_id int, text string, "
+            "judgment_is_primary boolean"
+        ),
+    )
+
+
 # ------------------------------------------------------------ Spark source
 
 

@@ -8,6 +8,7 @@ from neuscraper_spark.sources.annotate_pb import (
     ANNOTATION_TYPES,
     annotations_from_zip,
     encode_annotate_html,
+    gold_from_zip,
     parse_annotate_html,
 )
 
@@ -44,6 +45,48 @@ def test_multibyte_varints():
 def test_empty_message():
     got = parse_annotate_html(b"")
     assert got["url"] == "" and got["annotations"] == []
+
+
+def test_gold_from_zip_end_to_end(spark, tmp_path):
+    # build a zip whose records carry REAL corpus html + annotations
+    # derived from the labels machinery itself, then check the gold
+    # table tags exactly the annotated node ids as Primary and feeds
+    # the evaluator.
+    from neuscraper_spark.corpus import gen_pages
+    from neuscraper_spark.operators.labels import gold_rows_for_page
+
+    pages = list(gen_pages(21, 4))
+    zp = str(tmp_path / "vdom.zip")
+    want_rows = {}
+    with zipfile.ZipFile(zp, "w") as z:
+        for i, p in enumerate(pages):
+            html = p["html"].encode("utf-8") if isinstance(p["html"], str) else p["html"]
+            rows = [r for r in gold_rows_for_page(html) if r["is_text_node"]]
+            # annotate every 3rd text node as Primary
+            primary = [r["node_id"] for j, r in enumerate(rows) if j % 3 == 0]
+            url = f"https://gold{i}.example/page"
+            want_rows[url] = {(r["node_id"], r["node_id"] in set(primary)) for r in rows}
+            z.writestr(
+                f"clueweb22-gold-{i:05d}.bin",
+                encode_annotate_html(
+                    {
+                        "url": url,
+                        "html": html,
+                        "annotations": [(nid, 1) for nid in primary],
+                        "cw22id": f"clueweb22-gold-{i:05d}",
+                    }
+                ),
+            )
+    gold = gold_from_zip(spark, zp).toPandas()
+    assert set(gold["url"]) == set(want_rows)
+    for url, want in want_rows.items():
+        got = {
+            (r["text_node_id"], r["judgment_is_primary"])
+            for _, r in gold[gold.url == url].iterrows()
+        }
+        assert got == want, url
+    assert gold["judgment_is_primary"].any()
+    assert not gold["judgment_is_primary"].all()
 
 
 def test_zip_source(spark, tmp_path):
