@@ -357,6 +357,57 @@ def w3_fixed_chunk(spark, sf_dir):
 
 
 @query(
+    "w5_running_sum",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_extendedprice) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_total
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def w5_running_sum(spark, sf_dir):
+    # W5: frame-based running aggregate (cumulative price per order) —
+    # partitioned window, no global sort
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum("l_extendedprice").over(w), 4).alias("run_total"),
+        )
+    )
+
+
+@query(
+    "w6_lag_delta",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS delta
+    FROM events WHERE user_id < 50
+    """,
+)
+def w6_lag_delta(spark, sf_dir):
+    # W6: lag/lead offset window (per-user value delta)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        )
+    )
+
+
+@query(
     "w4_slice_limit",
     """
     SELECT vec_id, round(embedding[1], 4) AS e0, round(embedding[2], 4) AS e1,

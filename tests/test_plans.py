@@ -68,6 +68,21 @@ def test_dedup_plans_no_nested_loop_join(spark):
         assert "CartesianProduct" not in plan, q
 
 
+def test_ann_plans_no_cartesian(spark):
+    for q in ("s2_ann_lsh_topk", "s3_ann_ivf_topk"):
+        plan = plan_of(all_queries()[q](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_window_queries_are_partitioned(spark):
+    # no unpartitioned Window.orderBy (single-task global sort) anywhere
+    # in the registered window battery
+    for q in ("w2_row_number", "w3_fixed_chunk", "w5_running_sum", "w6_lag_delta"):
+        plan = plan_of(all_queries()[q](spark, SF_DIR))
+        assert "SinglePartition" not in plan, q
+
+
 def test_whole_stage_codegen_on_native_queries(spark):
     plan = plan_of(all_queries()["x2_quality_score"](spark, SF_DIR))
     assert "*(" in plan  # WholeStageCodegen stage marker in compact plans
