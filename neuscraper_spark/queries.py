@@ -672,6 +672,59 @@ def d2_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2, df_cap=100)
 
 
+@query(
+    "d6_neardup_components",
+    """
+    WITH RECURSIVE words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9à-ÿ'']+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, ws[i] || '␟' || ws[i+1] || '␟' || ws[i+2] AS gram
+      FROM words, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 100),
+    joinable AS (SELECT g.* FROM grams g JOIN rare r ON g.gram = r.gram),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM joinable a JOIN joinable b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared) >= 0.2
+    ),
+    bidir AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM bidir
+      UNION
+      SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id
+    )
+    SELECT id, min(lbl) AS component FROM reach GROUP BY id
+    """,
+)
+def d6_neardup_components(spark, sf_dir):
+    # D6 — transitive near-dup CLUSTERS over the D2 pair graph:
+    # iterative min-label propagation on Spark vs a recursive CTE in the
+    # oracle. Components (not pairs) are what keep/drop consumes —
+    # dedup_keep_representatives drops all but the min-id doc per
+    # cluster.
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, df_cap=100
+    ).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
 @query("d3_minhash_lsh", None)  # hash fns not SQL-portable -> rows-only check
 def d3_minhash_lsh(spark, sf_dir):
     from .operators.dedup import minhash_lsh_pairs

@@ -87,6 +87,31 @@ def test_simhash_near_pairs(spark, docs):
     assert (0, 2) in found  # one-word change -> small hamming
 
 
+def test_connected_components_transitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (1, 3)], "id_a long, id_b long"
+    )
+    cc = D.connected_components(pairs).toPandas().set_index("id")["component"].to_dict()
+    assert cc == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+
+
+def test_connected_components_long_chain(spark):
+    # diameter > 1 iteration: a 12-node path collapses to one component
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    cc = D.connected_components(pairs).toPandas()
+    assert set(cc["component"]) == {0} and len(cc) == 13
+
+
+def test_dedup_keep_representatives(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    kept = D.dedup_keep_representatives(docs, pairs).toPandas()
+    # docs 0,1,2,3,6 are one near-dup cluster (0 is the representative);
+    # 4 and 5 are unpaired and stay
+    assert sorted(kept["doc_id"]) == [0, 4, 5]
+
+
 def test_embedding_neardup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0] * 16),
