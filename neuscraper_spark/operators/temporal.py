@@ -1,0 +1,75 @@
+"""Temporal joins Spark lacks as built-ins, composed from DataFrame ops.
+
+As-of join (each left row matched to the most recent right row at or
+before its timestamp, per key): the standard scalable composition is a
+tagged UNION + one partitioned carry-forward window — a single shuffle
+keyed by the join key, no range explosion, no per-row Python:
+
+    union(right payload rows, left probe rows)
+      -> Window.partitionBy(key).orderBy(ts, side)   [right sorts first
+         at equal ts => '>=' as-of semantics]
+      -> last(payload, ignorenulls=True) carry-forward
+      -> keep left rows
+
+This is how kdb/pandas merge_asof semantics map onto a shuffle engine;
+at 100 TB the one exchange is keyed by the join key (salt it if one key
+dominates) and the window never materializes a cross product, unlike a
+naive range join. DuckDB's native ASOF JOIN is the test oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    right.ts <= left.ts and matching key (NULLs when no prior right row).
+
+    payload_cols: right columns to carry (default: all except key/ts).
+    The right timestamp is carried as ``<ts><suffix>``.
+    """
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns if c not in (key, ts)]
+
+    l_tagged = left.select(
+        F.col(key), F.col(ts), F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+        F.lit(None).cast(right.schema[ts].dataType).alias("_p_ts"),
+    )
+    r_tagged = right.select(
+        F.col(key), F.col(ts), F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.col(ts).alias("_p_ts"),
+    )
+    # right rows sort before left rows at the same timestamp -> a left
+    # row at t matches a right row at exactly t ('>=' as-of semantics)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_cf_{c}")
+            for c in payload_cols
+        ],
+        F.last("_p_ts", ignorenulls=True).over(w).alias("_cf_ts"),
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col("_lrow")[c].alias(c) for c in left.columns],
+        *[F.col(f"_cf_{c}").alias(f"{c}{suffix}" if c in left.columns else c) for c in payload_cols],
+        F.col("_cf_ts").alias(f"{ts}{suffix}"),
+    )
+    return out

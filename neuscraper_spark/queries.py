@@ -408,6 +408,36 @@ def w6_lag_delta(spark, sf_dir):
 
 
 @query(
+    "t1_asof_join",
+    """
+    SELECT l.event_id, l.user_id, round(l.value, 4) AS click_value,
+           round(r.value, 4) AS purchase_value, r.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def t1_asof_join(spark, sf_dir):
+    # As-of join (kdb/pandas merge_asof semantics): each click matched to
+    # the user's most recent prior-or-simultaneous purchase. Spark side =
+    # tagged-union + carry-forward window (one shuffle, no range
+    # explosion); oracle = DuckDB's native ASOF JOIN.
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click")
+    right = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(left, right, key="user_id", ts="ts", payload_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("click_value"),
+        F.round("value_right", 4).alias("purchase_value"),
+        F.col("ts_right").alias("purchase_ts"),
+    )
+
+
+@query(
     "w4_slice_limit",
     """
     SELECT vec_id, round(embedding[1], 4) AS e0, round(embedding[2], 4) AS e1,

@@ -1,0 +1,58 @@
+"""As-of join: hand-built edge cases (the oracle cross-check runs in the
+query battery against DuckDB's native ASOF JOIN)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from neuscraper_spark.operators.temporal import asof_join
+
+
+def _t(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _t(5)),   # after right@3 and right@4 -> latest (4) wins
+            (2, 10, _t(3)),   # EXACTLY at right@3 -> matches 3 ('>=')
+            (3, 10, _t(2)),   # before any right -> NULL
+            (4, 20, _t(9)),   # key 20: matches right@7 not right@3 of key 10
+            (5, 30, _t(9)),   # key with no right rows at all -> NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _t(3), 100.0),
+            (10, _t(4), 200.0),
+            (20, _t(7), 300.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    return left, right
+
+
+def test_asof_semantics(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, key="user_id", ts="ts").toPandas()
+    got = out.set_index("event_id")[["value", "ts_right"]]
+    assert got.loc[1, "value"] == 200.0 and got.loc[1, "ts_right"] == _t(4)
+    assert got.loc[2, "value"] == 100.0  # inclusive >= at equal ts
+    assert got.loc[3].isna().all()  # no prior right row
+    assert got.loc[4, "value"] == 300.0  # per-key isolation
+    assert got.loc[5].isna().all()  # key absent from right
+    assert len(out) == 5  # every left row survives exactly once
+
+
+def test_asof_latest_wins(spark, frames):
+    left, right = frames
+    l2 = spark.createDataFrame(
+        [(9, 10, _t(6))], "event_id long, user_id long, ts timestamp"
+    )
+    out = asof_join(l2, right, key="user_id", ts="ts").toPandas()
+    # two prior purchases (t=3, t=4): the LATEST one wins
+    assert out["value"].iloc[0] == 200.0 and out["ts_right"].iloc[0] == _t(4)
