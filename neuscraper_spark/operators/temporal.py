@@ -73,3 +73,35 @@ def asof_join(
         F.col("_cf_ts").alias(f"{ts}{suffix}"),
     )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    key: str,
+    ts: str,
+    start: str = "start",
+    end: str = "end",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Interval-containment join: each point row matched to the range row
+    (same key) with start <= ts <= end — NULLs when uncontained.
+
+    Composition: as-of on the range START (one shuffle, no
+    BroadcastNestedLoopJoin/cross product — the trap of writing this as
+    a raw inequality join) + containment filter on the carried END.
+    Exact for non-overlapping ranges per key (the common sessionization
+    shape); with overlapping ranges the latest-starting container wins —
+    documented, and the right semantics for nested sessions.
+    """
+    payload = [c for c in ranges.columns if c not in (key, start)]
+    r = ranges.withColumnRenamed(start, ts) if start != ts else ranges
+    joined = asof_join(points, r, key=key, ts=ts, payload_cols=payload, suffix=suffix)
+    end_col = f"{end}{suffix}" if end in points.columns else end
+    contained = F.col(end_col).isNotNull() & (F.col(ts) <= F.col(end_col))
+    carried = [c for c in joined.columns if c not in points.columns]
+    out = joined.select(
+        *points.columns,
+        *[F.when(contained, F.col(c)).otherwise(F.lit(None)).alias(c) for c in carried],
+    )
+    return out

@@ -438,6 +438,51 @@ def t1_asof_join(spark, sf_dir):
 
 
 @query(
+    "t2_range_join",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    sessions AS (
+      SELECT event_id AS session_id, user_id, ts AS session_start,
+             ts + INTERVAL 2 HOUR AS session_end
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN c.ts <= s.session_end THEN s.session_id END AS session_id,
+           CASE WHEN c.ts <= s.session_end THEN s.session_start END AS session_start,
+           CASE WHEN c.ts <= s.session_end THEN s.session_end END AS session_end
+    FROM clicks c ASOF LEFT JOIN sessions s
+      ON c.user_id = s.user_id AND c.ts >= s.session_start
+    """,
+)
+def t2_range_join(spark, sf_dir):
+    # Range (interval-containment) join: each click matched to the
+    # containing 2-hour signup session; latest-starting container wins
+    # for overlaps (both engines compose it as as-of-on-start + end
+    # filter, so the semantics are pinned identically). No nested-loop
+    # join on either side.
+    from .operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    ranges = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("session_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    out = range_join(points, ranges, key="user_id", ts="ts", start="start", end="end")
+    return out.select(
+        "event_id",
+        "user_id",
+        "session_id",
+        F.col("ts_right").alias("session_start"),
+        F.col("end").alias("session_end"),
+    )
+
+
+@query(
     "w4_slice_limit",
     """
     SELECT vec_id, round(embedding[1], 4) AS e0, round(embedding[2], 4) AS e1,

@@ -48,6 +48,60 @@ def test_asof_semantics(spark, frames):
     assert len(out) == 5  # every left row survives exactly once
 
 
+def test_range_join_containment(spark):
+    from neuscraper_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [
+            (1, 10, _t(5)),   # inside [3, 8] -> session A
+            (2, 10, _t(9)),   # after end 8 -> NULL
+            (3, 10, _t(2)),   # before any range -> NULL
+            (4, 10, _t(3)),   # exactly at start -> contained
+            (5, 10, _t(8)),   # exactly at end -> contained
+            (6, 20, _t(5)),   # key without ranges -> NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    ranges = spark.createDataFrame(
+        [("A", 10, _t(3), _t(8))],
+        "session_id string, user_id long, start timestamp, end timestamp",
+    )
+    out = range_join(points, ranges, key="user_id", ts="ts").toPandas()
+    got = out.set_index("event_id")["session_id"].to_dict()
+    import math
+
+    def val(x):
+        return None if (x is None or (isinstance(x, float) and math.isnan(x))) else x
+
+    assert {k: val(v) for k, v in got.items()} == {
+        1: "A", 2: None, 3: None, 4: "A", 5: "A", 6: None,
+    }
+
+
+def test_range_join_overlap_latest_container_wins(spark):
+    from neuscraper_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(1, 10, _t(6))], "event_id long, user_id long, ts timestamp"
+    )
+    ranges = spark.createDataFrame(
+        [("outer", 10, _t(1), _t(9)), ("inner", 10, _t(5), _t(7))],
+        "session_id string, user_id long, start timestamp, end timestamp",
+    )
+    out = range_join(points, ranges, key="user_id", ts="ts").toPandas()
+    assert out["session_id"].iloc[0] == "inner"  # nested session wins
+
+
+def test_temporal_plans_no_nested_loop(spark):
+    from neuscraper_spark.queries import all_queries
+
+    for q in ("t1_asof_join", "t2_range_join"):
+        df = all_queries()[q](spark, "/root/testdata/sf0.01")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
 def test_asof_latest_wins(spark, frames):
     left, right = frames
     l2 = spark.createDataFrame(
