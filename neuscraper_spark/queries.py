@@ -483,6 +483,30 @@ def t2_range_join(spark, sf_dir):
 
 
 @query(
+    "t3_rollup_cascade",
+    """
+    SELECT 'minute' AS level, date_trunc('minute', ts) AS bucket_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', ts), event_type, count(*), round(sum(value), 4)
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), event_type, count(*), round(sum(value), 4)
+    FROM events GROUP BY 2, 3
+    """,
+)
+def t3_rollup_cascade(spark, sf_dir):
+    # Hypertable-style continuous-aggregate cascade: minute rollup scans
+    # the raw rows once; hour re-aggregates minute, day re-aggregates
+    # hour. The oracle aggregates each level DIRECTLY from raw, so the
+    # hash match proves the cascade's sums/counts compose exactly.
+    from .operators.temporal import rollup_cascade
+
+    return rollup_cascade(_t(spark, sf_dir, "events"))
+
+
+@query(
     "w4_slice_limit",
     """
     SELECT vec_id, round(embedding[1], 4) AS e0, round(embedding[2], 4) AS e1,

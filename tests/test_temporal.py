@@ -102,6 +102,41 @@ def test_temporal_plans_no_nested_loop(spark):
         assert "CartesianProduct" not in plan, q
 
 
+def test_rollup_cascade_scans_raw_once(spark):
+    from neuscraper_spark.operators.temporal import rollup_cascade
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = rollup_cascade(events)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the raw scan ran ONCE while materializing the minute level; the
+    # final plan reads only the checkpointed levels — no re-scan of raw
+    assert plan.count("Scan parquet") + plan.count("FileScan") == 0
+    assert plan.count("Scan ExistingRDD") >= 2
+    # reaggregation correctness: day sums == direct day sums from raw
+    got = (
+        df.filter("level = 'day'")
+        .toPandas()
+        .sort_values(["bucket_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    from pyspark.sql import functions as FF
+
+    want = (
+        events.groupBy(
+            FF.date_trunc("day", "ts").alias("bucket_start"), "event_type"
+        )
+        .agg(FF.count("*").alias("n"), FF.round(FF.sum("value"), 4).alias("sum_value"))
+        .withColumn("level", FF.lit("day"))
+        .select("level", "bucket_start", "event_type", "n", "sum_value")
+        .toPandas()
+        .sort_values(["bucket_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_asof_latest_wins(spark, frames):
     left, right = frames
     l2 = spark.createDataFrame(
