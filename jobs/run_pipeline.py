@@ -35,7 +35,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from neuscraper_spark import config as C
-    from neuscraper_spark.operators.extract import extract_fused, extract_pipeline
+    from neuscraper_spark.operators.extract import extract_curate_fused, extract_pipeline
     from neuscraper_spark.operators.quality import quality_chain
     from neuscraper_spark.session import get_spark
     from neuscraper_spark.sources.writer import TableWriter, url_host
@@ -46,8 +46,12 @@ def main() -> None:
         web_pages = web_pages.repartition(args.partitions)
 
     thr = args.threshold if args.threshold is not None else C.PRIMARY_THRESHOLD
-    extract = extract_fused if args.fused else extract_pipeline
-    curated = quality_chain(spark, extract(spark, web_pages, threshold=thr))
+    if args.fused:
+        # ONE python stage (parse+score+assemble+langid+ppl fused) +
+        # native tail — byte-identical to the staged plan (tested)
+        curated = extract_curate_fused(spark, web_pages, threshold=thr)
+    else:
+        curated = quality_chain(spark, extract_pipeline(spark, web_pages, threshold=thr))
     # partition the output by url-host bucket: stable, bounded
     # cardinality, and co-locates per-site reads downstream
     curated = curated.withColumn(
