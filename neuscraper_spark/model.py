@@ -287,12 +287,21 @@ def score_chunks(chunks_token_ids: list[list[list[int]]], w: dict) -> np.ndarray
         return out
     ids = np.zeros((n, CHUNK_SIZE, MODEL_MAX_TOKEN_LEN), dtype=np.int64)
     masks = np.zeros((n, CHUNK_SIZE, MODEL_MAX_TOKEN_LEN), dtype=bool)
-    max_nodes = 1
+    n_nodes = np.ones(n, dtype=np.int64)
     for i, rows in enumerate(chunks_token_ids):
         ids[i], masks[i] = tensorize_chunk(rows)
-        max_nodes = max(max_nodes, min(len(rows), CHUNK_SIZE))
-    s_trim = min(CHUNK_SIZE, ((max_nodes + 31) // 32) * 32)
+        n_nodes[i] = max(1, min(len(rows), CHUNK_SIZE))
+    # Length-bucketed micro-batches: attention is O(S^2) in the node
+    # axis, so group chunks of similar real length (stable argsort) and
+    # trim each micro-batch to ITS OWN max (rounded up to 32) rather
+    # than the whole batch's — a lone 384-node page no longer makes
+    # every micro-batch pay [B, H, 384, 384]. Valid for the same reason
+    # as the global trim: padded node positions are masked out of
+    # attention (exactly-zero softmax weights), so real-node scores are
+    # independent of the padded tail — asserted by tests/test_model.py.
+    order = np.argsort(n_nodes, kind="stable")
     for lo in range(0, n, MICRO_BATCH):
-        hi = min(lo + MICRO_BATCH, n)
-        out[lo:hi, :s_trim] = score_batch(ids[lo:hi, :s_trim], masks[lo:hi, :s_trim], w)
+        sel = order[lo : lo + MICRO_BATCH]
+        s_trim = min(CHUNK_SIZE, int((n_nodes[sel].max() + 31) // 32) * 32)
+        out[sel, :s_trim] = score_batch(ids[sel, :s_trim], masks[sel, :s_trim], w)
     return out

@@ -188,18 +188,19 @@ def score_nodes(spark: SparkSession, chunks: DataFrame) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            chunk_tokens = [
-                [list(n["token_ids"]) for n in nodes] for nodes in pdf["nodes"]
-            ]
+            all_nodes = [nodes[: C.CHUNK_SIZE] for nodes in pdf["nodes"]]
+            chunk_tokens = [[n["token_ids"] for n in nodes] for nodes in all_nodes]
             scores = score_chunks(chunk_tokens, w)  # [n, 384, 6]
-            urls, node_ids, texts, out_scores = [], [], [], []
-            for i, nodes in enumerate(pdf["nodes"]):
-                n_real = min(len(nodes), C.CHUNK_SIZE)
-                for j in range(n_real):
-                    urls.append(pdf["url"].iloc[i])
-                    node_ids.append(nodes[j]["node_id"])
-                    texts.append(nodes[j]["text"])
-                    out_scores.append(scores[i, j].tolist())
+            # vectorized row assembly: no per-node interpreter loop —
+            # urls via np.repeat, the score rows via one 2-D mask gather
+            counts = np.fromiter(
+                (len(ns) for ns in all_nodes), dtype=np.int64, count=len(all_nodes)
+            )
+            urls = np.repeat(pdf["url"].to_numpy(), counts)
+            node_ids = [n["node_id"] for ns in all_nodes for n in ns]
+            texts = [n["text"] for ns in all_nodes for n in ns]
+            real = np.arange(C.CHUNK_SIZE)[None, :] < counts[:, None]
+            out_scores = scores[real].tolist()  # [total_nodes, 6] in one call
             yield pd.DataFrame(
                 {"url": urls, "node_id": node_ids, "text": texts, "scores": out_scores}
             )
@@ -295,18 +296,41 @@ def extract_fused(
                     chunk_tokens.append([r["token_ids"] for r in chunk])
                     chunk_meta.append((pi, chunk))
             scores = score_chunks(chunk_tokens, w)
-            kept: dict[int, list[tuple[int, str]]] = {}
-            for k, (pi, chunk) in enumerate(chunk_meta):
-                prim = scores[k, : len(chunk), 0]
-                for j, r in enumerate(chunk):
-                    if prim[j] > thr and r["node_id"] != 0 and r["text"]:
-                        kept.setdefault(pi, []).append((r["node_id"], r["text"]))
-            urls, texts = [], []
-            for pi, (url, _) in enumerate(page_rows):
-                if pi in kept:
-                    parts = sorted(kept[pi], reverse=True)
-                    urls.append(url)
-                    texts.append("".join(t for _, t in parts))
+            # vectorized keep + assembly: one flat node table for the
+            # whole Arrow batch, the threshold test as a numpy mask, the
+            # per-page descending-node_id order via one lexsort — no
+            # per-node interpreter loop after the forward pass
+            counts = np.fromiter(
+                (len(c) for _, c in chunk_meta), dtype=np.int64, count=len(chunk_meta)
+            )
+            flat_pi = np.repeat(
+                np.fromiter((pi for pi, _ in chunk_meta), dtype=np.int64,
+                            count=len(chunk_meta)),
+                counts,
+            )
+            flat_text = [r["text"] for _, c in chunk_meta for r in c]
+            flat_nid = np.fromiter(
+                (r["node_id"] for _, c in chunk_meta for r in c),
+                dtype=np.int64, count=len(flat_text),
+            )
+            has_text = np.fromiter(
+                (bool(t) for t in flat_text), dtype=bool, count=len(flat_text)
+            )
+            real = np.arange(C.CHUNK_SIZE)[None, :] < counts[:, None]
+            prim = scores[:, :, 0][real] if len(chunk_meta) else np.zeros(0)
+            keep_idx = np.flatnonzero((prim > thr) & (flat_nid != 0) & has_text)
+            # sort kept nodes by (page, node_id desc); node ids are unique
+            # per page (LIFO parser ids), so this equals the reference's
+            # sorted(..., reverse=True) over (node_id, text) tuples
+            order = keep_idx[np.lexsort((-flat_nid[keep_idx], flat_pi[keep_idx]))]
+            opi = flat_pi[order]
+            starts = np.flatnonzero(np.r_[True, opi[1:] != opi[:-1]]) if len(opi) else np.zeros(0, dtype=np.int64)
+            ends = np.r_[starts[1:], len(opi)] if len(opi) else starts
+            urls = [page_rows[opi[s]][0] for s in starts]
+            texts = [
+                "".join(flat_text[i] for i in order[s:e])
+                for s, e in zip(starts, ends)
+            ]
             out = pd.DataFrame({"url": urls, "text": texts})
             if with_langid_ppl:
                 langs, confs = langid_scores_batch(texts)

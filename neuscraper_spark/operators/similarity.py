@@ -127,9 +127,14 @@ def train_ivf_centroids(
     split, so training is reproducible across runs and cluster sizes.
     """
     n_total = emb.count()
-    stride = max(1, n_total // sample)
+    # ceiling stride: pmod filter yields <= sample rows for dense ids, so
+    # no order-dependent limit() truncation can occur; the explicit sort
+    # pins collect order (k-means init indexes into X) regardless of
+    # partitioning — reproducible across runs and cluster sizes.
+    stride = max(1, -(-n_total // sample))
     rows = (
         emb.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+        .orderBy(id_col)
         .limit(sample)
         .select(vec_col)
         .collect()

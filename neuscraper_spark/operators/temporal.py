@@ -53,10 +53,19 @@ def asof_join(
         F.col(ts).alias("_p_ts"),
     )
     # right rows sort before left rows at the same timestamp -> a left
-    # row at t matches a right row at exactly t ('>=' as-of semantics)
+    # row at t matches a right row at exactly t ('>=' as-of semantics).
+    # The payload struct is a deterministic tertiary key: with duplicate
+    # right rows at the same (key, ts), carry-forward would otherwise
+    # pick whichever row the shuffle ordered last — nondeterministic
+    # across runs and cluster sizes (left rows all have NULL payloads,
+    # so their relative order stays irrelevant).
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts), F.col("_side"))
+        .orderBy(
+            F.col(ts),
+            F.col("_side"),
+            F.struct(*[F.col(f"_p_{c}") for c in payload_cols]),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(

@@ -67,6 +67,8 @@ def score_encoded_chunks(
     thr = float(threshold)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         w = shm_cache_weights(bc.value, tag=C.WEIGHTS_TAG)
         for pdf in batches:
             if pdf.empty:
@@ -76,18 +78,36 @@ def score_encoded_chunks(
                 for rows in pdf["TokenId"]
             ]
             scores = score_chunks(chunk_tokens, w)
-            urls, nids = [], []
-            for i, (node_ids, us) in enumerate(zip(pdf["NodeIds"], pdf["Url"])):
-                if node_ids is None or us is None or not len(us):
-                    continue
-                url = us[0]
-                n_real = min(len(node_ids), C.CHUNK_SIZE)
-                sc = scores[i, :n_real, idx]
-                for j in range(n_real):
-                    if sc[j] > thr and node_ids[j] != 0:
-                        urls.append(url)
-                        nids.append(int(node_ids[j]))
-            yield pd.DataFrame({"url": urls, "text_node_id": nids})
+            # vectorized threshold: one flat (chunk_url, node_id) table per
+            # Arrow batch, the predicate as a numpy mask — no per-node loop
+            ok = [
+                node_ids is not None and us is not None and len(us) > 0
+                for node_ids, us in zip(pdf["NodeIds"], pdf["Url"])
+            ]
+            counts = np.fromiter(
+                (min(len(n), C.CHUNK_SIZE) if k else 0
+                 for n, k in zip(pdf["NodeIds"], ok)),
+                dtype=np.int64, count=len(pdf),
+            )
+            flat_url = np.repeat(
+                np.array([us[0] if k else "" for us, k in zip(pdf["Url"], ok)],
+                         dtype=object),
+                counts,
+            )
+            flat_nid = (
+                np.concatenate(
+                    [np.asarray(n[:c], dtype=np.int64)
+                     for n, c in zip(pdf["NodeIds"], counts) if c]
+                )
+                if counts.sum()
+                else np.zeros(0, dtype=np.int64)
+            )
+            real = np.arange(C.CHUNK_SIZE)[None, :] < counts[:, None]
+            sc = scores[:, :, idx][real]
+            kept = np.flatnonzero((sc > thr) & (flat_nid != 0))
+            yield pd.DataFrame(
+                {"url": flat_url[kept], "text_node_id": flat_nid[kept].astype(np.int32)}
+            )
 
     out = chunks.mapInPandas(run, schema="url string, text_node_id int")
     return out.dropDuplicates(["url", "text_node_id"]).withColumn(

@@ -82,11 +82,18 @@ class TableWriter:
         out = set()
         for name in os.listdir(self.manifest_dir):
             if name.startswith("partition=") and name.endswith(".json"):
-                out.add(name[len("partition=") : -len(".json")])
+                out.add(urllib.parse.unquote(name[len("partition=") : -len(".json")]))
         return out
 
     def _manifest_path(self, value: str) -> str:
-        return os.path.join(self.manifest_dir, f"partition={value}.json")
+        # percent-escape symmetric with Spark's hive dir escaping (and the
+        # unquote in _data_partitions): a partition value containing '/'
+        # or other path-hostile characters must not change the manifest
+        # directory layout or desynchronize resume from the data dirs
+        return os.path.join(
+            self.manifest_dir,
+            f"partition={urllib.parse.quote(value, safe='')}.json",
+        )
 
     def _pstr(self) -> F.Column:
         """Partition value as the string used in manifests — NULL-safe:
