@@ -302,6 +302,6 @@ def score_chunks(chunks_token_ids: list[list[list[int]]], w: dict) -> np.ndarray
     order = np.argsort(n_nodes, kind="stable")
     for lo in range(0, n, MICRO_BATCH):
         sel = order[lo : lo + MICRO_BATCH]
-        s_trim = min(CHUNK_SIZE, int((n_nodes[sel].max() + 31) // 32) * 32)
+        s_trim = min(CHUNK_SIZE, int((n_nodes[sel].max() + 7) // 8) * 8)
         out[sel, :s_trim] = score_batch(ids[sel, :s_trim], masks[sel, :s_trim], w)
     return out

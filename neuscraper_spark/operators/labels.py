@@ -114,7 +114,10 @@ def gold_table(spark, web_pages: DataFrame) -> DataFrame:
 
 
 def train_chunk_jsons(url: str, html: bytes) -> list[str]:
-    """Reference train/test JSON lines incl. Labels (build_train.py:139-143)."""
+    """ORACLE TWIN ONLY: python json.dumps of the reference train/test
+    lines incl. Labels (build_train.py:139-143). Production encoding goes
+    through sources.chunks.encode_chunks_json_native (one encoder for the
+    wire format); tests assert the two are byte-identical."""
     import json
 
     rows = gold_rows_for_page(html)
@@ -131,16 +134,46 @@ def train_chunk_jsons(url: str, html: bytes) -> list[str]:
     return out
 
 
-def build_train_chunks(web_pages: DataFrame) -> DataFrame:
+def train_nodes(web_pages: DataFrame) -> DataFrame:
+    """Parse stage for the training builder: one row per sequence node
+    with PREPROCESSING-width (50-id) tokens AND the 6-bit label vector —
+    the labels-bearing input contract of encode_chunks_json_native.
+    Parsing/labeling is python (T1 must be); everything after is
+    Catalyst."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls, lines = [], []
+            out = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                for line in train_chunk_jsons(url, html):
-                    urls.append(url)
-                    lines.append(line)
-            yield pd.DataFrame({"url": urls, "json_line": lines})
+                for seq, r in enumerate(gold_rows_for_page(html)):
+                    out.append(
+                        {
+                            "url": url,
+                            "seq_pos": seq,
+                            "node_id": r["node_id"],
+                            "token_ids": tokenize(r["text"], C.PREP_MAX_TOKEN_LEN),
+                            "labels": r["labels"],
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["url", "seq_pos", "node_id", "token_ids", "labels"]
+            )
 
     return web_pages.select("url", "html").mapInPandas(
-        run, schema="url string, json_line string"
+        run,
+        schema=(
+            "url string, seq_pos int, node_id int, "
+            "token_ids array<int>, labels array<int>"
+        ),
     )
+
+
+def build_train_chunks(web_pages: DataFrame) -> DataFrame:
+    """Training JSON-line builder routed through the ONE native encoder
+    (sources.chunks.encode_chunks_json_native): the python parse stage
+    emits labeled node rows, the chunk grouping and JSON encoding are
+    pure Catalyst to_json — byte-identical to train_chunk_jsons (tested).
+    Returns (url, chunk_id, json_line)."""
+    from ..sources.chunks import encode_chunks_json_native
+
+    return encode_chunks_json_native(train_nodes(web_pages))

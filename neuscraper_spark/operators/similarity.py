@@ -76,24 +76,28 @@ LSH_PLANES = 6
 LSH_TABLES = 24
 
 
-def _planes(seed: int = 7, dim: int = EMB_DIM) -> np.ndarray:
+def _planes(
+    seed: int = 7, dim: int = EMB_DIM,
+    tables: int = LSH_TABLES, planes: int = LSH_PLANES,
+) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(seed))
-    return rng.standard_normal((LSH_TABLES, LSH_PLANES, dim)).astype(np.float32)
+    return rng.standard_normal((tables, planes, dim)).astype(np.float32)
 
 
 def lsh_signatures(
-    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 7
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 7,
+    tables: int = LSH_TABLES, n_planes: int = LSH_PLANES,
 ) -> DataFrame:
     """(id, vec, table, bucket): one row per (vector, hash table)."""
-    planes = _planes(seed)
+    planes = _planes(seed, tables=tables, planes=n_planes)
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        weights = (1 << np.arange(LSH_PLANES, dtype=np.int64))
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
         for pdf in batches:
             vecs = np.array([list(v) for v in pdf[vec_col]], dtype=np.float32)
             out_id, out_vec, out_table, out_bucket = [], [], [], []
             if len(vecs):
-                for t in range(LSH_TABLES):
+                for t in range(tables):
                     bits = (vecs @ planes[t].T) > 0  # [n, planes]
                     buckets = (bits.astype(np.int64) * weights).sum(axis=1)
                     out_id.extend(pdf[id_col].tolist())
@@ -188,31 +192,9 @@ def ivf_assign(
     )
 
 
-def ann_ivf_topk(
-    emb: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    seed: int = 11,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """IVF-Flat ANN top-k: corpus partitioned into centroid cells
-    (narrow assign stage), queries probe their nprobe nearest cells,
-    candidates joined natively on `cell`, exact cosine rerank.
-
-    Scale path: the cell equi-join scans ~nprobe/n_centroids of the
-    corpus per query instead of all of it, and the `cell` column is a
-    natural partition/bucket key for a stored index table (repartition
-    by cell == co-located cells)."""
-    cents = train_ivf_centroids(
-        emb, n_centroids=n_centroids, seed=seed, vec_col=vec_col, id_col=id_col
-    )
-    corpus_cells = ivf_assign(emb, cents, nprobe=1, vec_col=vec_col, id_col=id_col)
-    q_src = queries.select(F.col("qid").alias(id_col), F.col("qvec").alias(vec_col))
-    q_cells = ivf_assign(q_src, cents, nprobe=nprobe, vec_col=vec_col, id_col=id_col)
-    q_cells = q_cells.withColumnsRenamed({"id": "qid", "vec": "qvec"})
+def _ivf_probe(corpus_cells: DataFrame, q_cells: DataFrame, k: int) -> DataFrame:
+    """Shared IVF probe tail: native cell equi-join (query side
+    broadcast) + exact cosine rerank + per-query top-k window."""
     cand = (
         corpus_cells.join(
             F.broadcast(q_cells),
@@ -233,6 +215,122 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-Flat ANN top-k, self-contained (trains on the fly): corpus
+    partitioned into centroid cells (narrow assign stage), queries probe
+    their nprobe nearest cells, candidates joined natively on `cell`,
+    exact cosine rerank.
+
+    For repeated querying use the STORED index instead —
+    ``build_ivf_index`` + ``ann_ivf_topk_indexed`` — which trains once,
+    persists centroids + the cell-assigned corpus, and prunes unprobed
+    cell partitions at scan time (an index you rebuild per query isn't
+    an index)."""
+    cents = train_ivf_centroids(
+        emb, n_centroids=n_centroids, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+    corpus_cells = ivf_assign(emb, cents, nprobe=1, vec_col=vec_col, id_col=id_col)
+    q_src = queries.select(F.col("qid").alias(id_col), F.col("qvec").alias(vec_col))
+    q_cells = ivf_assign(q_src, cents, nprobe=nprobe, vec_col=vec_col, id_col=id_col)
+    q_cells = q_cells.withColumnsRenamed({"id": "qid", "vec": "qvec"})
+    return _ivf_probe(corpus_cells, q_cells, k)
+
+
+# ------------------------------------------------------- stored IVF index
+
+
+def build_ivf_index(
+    spark,
+    emb: DataFrame,
+    index_root: str,
+    n_centroids: int = 16,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> dict:
+    """Train ONCE and persist the IVF index (Faiss builds, then serves —
+    Jégou et al. 2011):
+
+        <index_root>/centroids/          tiny parquet (cell, centroid)
+        <index_root>/cells/              TableWriter table partitioned
+                                         by `cell` — hive dirs are the
+                                         inverted lists, with manifests,
+                                         per-partition row counts and
+                                         crash-resumable commit
+
+    Returns the TableWriter snapshot dict. The cell partitioning is the
+    scale design: each stored partition is one inverted list, so a probe
+    reads only the nprobe/n_centroids slice of the corpus (partition
+    pruning on the hive dirs), and appending new vectors is a resumable
+    per-cell commit."""
+    from ..sources.writer import TableWriter
+
+    cents = train_ivf_centroids(
+        emb, n_centroids=n_centroids, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+    cent_rows = [(int(i), [float(x) for x in cents[i]]) for i in range(len(cents))]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_root}/centroids")
+    corpus_cells = ivf_assign(emb, cents, nprobe=1, vec_col=vec_col, id_col=id_col)
+    return TableWriter(root=f"{index_root}/cells", partition_col="cell").write(
+        corpus_cells, mode=mode
+    )
+
+
+def load_ivf_centroids(spark, index_root: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{index_root}/centroids").orderBy("cell").collect()
+    return np.array([list(r["centroid"]) for r in rows], dtype=np.float32)
+
+
+def ann_ivf_topk_indexed(
+    spark,
+    index_root: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a STORED IVF index: no count(), no retrain, no full-corpus
+    scan. Centroids load from the tiny parquet; queries (small by
+    contract — they are broadcast) are assigned driver-side to their
+    nprobe cells; the corpus scan is filtered to exactly those cell
+    partitions, which the committed-partition read prunes at the
+    parquet-directory level."""
+    from ..sources.writer import TableWriter
+
+    cents = load_ivf_centroids(spark, index_root)
+    qrows = queries.select("qid", "qvec").collect()
+    qids = [r["qid"] for r in qrows]
+    qvecs = np.array([list(r["qvec"]) for r in qrows], dtype=np.float32)
+    qn = qvecs / np.maximum(np.linalg.norm(qvecs, axis=1, keepdims=True), 1e-9)
+    top = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    q_cells = spark.createDataFrame(
+        [
+            (int(qids[i]), [float(x) for x in qvecs[i]], int(c))
+            for i in range(len(qids))
+            for c in top[i]
+        ],
+        "qid long, qvec array<float>, cell int",
+    )
+    probed = sorted({int(c) for row in top for c in row})
+    corpus_cells = (
+        TableWriter(root=f"{index_root}/cells", partition_col="cell")
+        .read(spark)
+        .filter(F.col("cell").isin(probed))
+    )
+    return _ivf_probe(corpus_cells, q_cells, k)
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -240,16 +338,25 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    tables: int = LSH_TABLES,
+    n_planes: int = LSH_PLANES,
 ) -> DataFrame:
     """ANN top-k: LSH bucket join generates candidates (native equi-join
     on (table, bucket) — the quadratic scan never happens), exact cosine
-    rerank within candidates."""
-    corpus_sig = lsh_signatures(emb, vec_col, id_col, seed)
+    rerank within candidates.
+
+    ``tables``/``n_planes`` trade candidate volume for recall: fewer
+    planes widen buckets (higher recall, bigger scans). The defaults are
+    the production ANN setting; the oracle-checked registration uses a
+    coverage setting (see queries.s2_ann_lsh_topk)."""
+    corpus_sig = lsh_signatures(emb, vec_col, id_col, seed, tables, n_planes)
     q_sig = lsh_signatures(
         queries.select(F.col("qid").alias(id_col), F.col("qvec").alias(vec_col)),
         vec_col,
         id_col,
         seed,
+        tables,
+        n_planes,
     ).withColumnsRenamed({"id": "qid", "vec": "qvec"})
     cand = (
         corpus_sig.join(

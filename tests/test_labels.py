@@ -74,3 +74,22 @@ def test_corpus_scale_eval_against_tag_gold(spark):
     assert m["recall"] > 0.7, m.to_dict()   # keeps most primary content
     assert m["accuracy"] > 0.6, m.to_dict()
     wp.unpersist()
+
+
+def test_build_train_chunks_native_byte_compat(spark):
+    """The production training builder (native to_json via
+    encode_chunks_json_native) emits byte-identical JSON lines to the
+    python oracle twin train_chunk_jsons — one encoder for the wire
+    format (VERDICT r2 #4)."""
+    wp = web_pages_df(spark, seed=13, n_pages=12, partitions=3)
+    got = {
+        (r["url"], r["chunk_id"]): r["json_line"]
+        for r in L.build_train_chunks(wp).collect()
+    }
+    pages = {p["url"]: p["html"] for p in gen_pages(13, 12)}
+    want = {}
+    for url, html in pages.items():
+        for ci, line in enumerate(L.train_chunk_jsons(url, html)):
+            want[(url, ci)] = line
+    # drop pages that produce no sequence rows on either side
+    assert got == {k: v for k, v in want.items() if v}

@@ -71,3 +71,29 @@ def test_lsh_deterministic(spark, emb):
     a = S.lsh_signatures(emb.limit(50)).toPandas().sort_values(["id", "table"])
     b = S.lsh_signatures(emb.limit(50)).toPandas().sort_values(["id", "table"])
     assert a["bucket"].tolist() == b["bucket"].tolist()
+
+
+def test_ivf_stored_index_matches_on_the_fly(spark, tmp_path):
+    """build once + probe (no retrain) == the self-contained path at the
+    same seed, and probe-all == brute force (VERDICT r2 #7)."""
+    from neuscraper_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivf_topk_indexed,
+        brute_force_topk,
+        build_ivf_index,
+        queries_from_ids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = queries_from_ids(emb, range(3))
+    root = str(tmp_path / "ivf_index")
+    snap = build_ivf_index(spark, emb, root, n_centroids=8)
+    assert snap["rows_written"] == emb.count()
+
+    got = ann_ivf_topk_indexed(spark, root, q, k=5, nprobe=3).collect()
+    want = ann_ivf_topk(emb, q, k=5, n_centroids=8, nprobe=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    all_probed = ann_ivf_topk_indexed(spark, root, q, k=5, nprobe=8).collect()
+    bf = brute_force_topk(emb, q, k=5).collect()
+    assert sorted(map(tuple, all_probed)) == sorted(map(tuple, bf))
