@@ -77,8 +77,27 @@ class _TreeBuilder(HTMLParser):
                 return
 
     def handle_data(self, data: str) -> None:
-        if data:
+        if data and not self._drop_flush:
             self._append(data)
+
+    _drop_flush = False
+
+    def close(self) -> None:
+        # EOF recovery for truncated pages: stdlib close() flushes an
+        # INCOMPLETE trailing tag ('<div cla' at EOF) as literal data
+        # ('<' + 'div cla'), which would leak tag soup into extracted
+        # text on every truncated crawl record. The unparsed buffer
+        # starts with '<' exactly when it is such a tag fragment (text
+        # before a '<' is always emitted as soon as the '<' arrives), so
+        # drop the flush then; buffered trailing text / incomplete
+        # entities ('ends with &') still flush normally. bs4's
+        # html.parser builder keeps the fragment; lxml drops it — we
+        # follow lxml (tests/test_html_fuzz.py pins both paths).
+        self._drop_flush = self.rawdata.startswith("<")
+        try:
+            super().close()
+        finally:
+            self._drop_flush = False
 
 
 def _parse_tree(html: str) -> list[object]:

@@ -2,11 +2,20 @@
 
 Images/audio/video are `binary` columns with a metadata struct; decode
 and feature-extraction run as Arrow-batched stages over mapInPandas.
-The actual codec work is STUBBED (no image/audio libraries in this
-container — see `_decode_image_stub`): the deterministic fake parses a
-tiny self-describing header so schema, partitioning, UDF signatures and
-batch shapes are real and tested; swapping in PIL/ffmpeg is a one-
-function change behind `DECODERS`.
+
+Two REAL decoders are implemented from scratch against the public
+container specs with stdlib ``struct`` only (no codec libraries ship in
+this container):
+
+- **BMP** (Windows BITMAPINFOHEADER, uncompressed 24-bit BGR and 8-bit
+  paletted): magic/offset walk, bottom-up row order, 4-byte row padding.
+- **WAV** (RIFF/WAVE, PCM 8/16-bit): chunk walk (skips LIST/fact/...,
+  honours odd-size padding), fmt parse, interleaved channel de-mux.
+
+Compressed codecs (JPEG/PNG/MP3/MP4) remain honest
+``NotImplementedError`` stubs — the ``FAKE`` self-describing container
+keeps schema/partitioning/batch-shape plumbing testable for those, and
+swapping in PIL/ffmpeg is a one-function change behind ``DECODERS``.
 """
 
 from __future__ import annotations
@@ -71,11 +80,158 @@ def _decode_audio_stub(payload: bytes) -> np.ndarray:
     return (np.tile(body, reps)[:n] - 128) * 256
 
 
-DECODERS = {"image": _decode_image_stub, "audio": _decode_audio_stub}
+# ----------------------------------------------------- real codecs (stdlib)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed BMP -> pixel array ([h, w, 3] uint8 RGB for 24bpp,
+    [h, w] uint8 for 8bpp paletted/grayscale). From-scratch parse of the
+    public format (BITMAPFILEHEADER + BITMAPINFOHEADER): rows are stored
+    bottom-up and padded to 4-byte boundaries; 24bpp pixels are BGR.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression}) not supported")
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"{bpp}bpp BMP not supported (8/24 only)")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * (bpp // 8) + 3) & ~3  # pad rows to 4 bytes
+    px = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * height,
+                       offset=data_offset).reshape(height, row_bytes)
+    if bottom_up:
+        px = px[::-1]
+    if bpp == 24:
+        bgr = px[:, : width * 3].reshape(height, width, 3)
+        return bgr[:, :, ::-1].copy()  # BGR -> RGB
+    # 8bpp: palette of BGRA quads sits between the DIB header and the data
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+    pal = np.frombuffer(payload, dtype=np.uint8, count=n_colors * 4,
+                        offset=14 + hdr_size).reshape(n_colors, 4)
+    idx = px[:, :width]
+    # grayscale palette (r==g==b) maps straight to intensity
+    return pal[idx, 0].copy()
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Pixel array -> uncompressed BMP bytes ([h,w,3] RGB -> 24bpp;
+    [h,w] -> 8bpp with a grayscale palette). Round-trip twin of
+    decode_bmp, used by tests and resize_images."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    bpp = 8 if gray else 24
+    row_bytes = (w * (bpp // 8) + 3) & ~3
+    pal = b""
+    if gray:
+        pal = b"".join(struct.pack("<BBBB", v, v, v, 0) for v in range(256))
+    data_offset = 14 + 40 + len(pal)
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    if gray:
+        body[:, :w] = pixels
+    else:
+        body[:, : w * 3] = pixels[:, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+    body = body[::-1]  # stored bottom-up
+    raw = body.tobytes()
+    header = b"BM" + struct.pack("<IHHI", data_offset + len(raw), 0, 0, data_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(raw), 2835, 2835,
+                      256 if gray else 0, 0)
+    return header + dib + pal + raw
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> (samples, sample_rate); samples are int16,
+    [n] mono or [n, channels]. From-scratch chunk walk of the public
+    RIFF container: unknown chunks (LIST, fact, cue ...) are skipped,
+    odd-sized chunks honour the RIFF pad byte; 8-bit PCM (unsigned) is
+    widened to int16."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only PCM 8/16-bit WAV supported (format={audio_format}, bits={bits})"
+        )
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    else:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
+    if channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels].reshape(-1, channels)
+    return samples, sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 samples ([n] or [n, channels]) -> PCM16 RIFF/WAVE bytes."""
+    samples = np.asarray(samples, dtype="<i2")
+    channels = 1 if samples.ndim == 1 else samples.shape[1]
+    raw = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Image dispatch: real BMP decode, FAKE container for stubbed
+    codecs, NotImplementedError otherwise (JPEG/PNG need real libs)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    return _decode_image_stub(payload)
+
+
+def _decode_audio(payload: bytes) -> np.ndarray:
+    if payload[:4] == b"RIFF":
+        samples, _ = decode_wav(payload)
+        return samples
+    return _decode_audio_stub(payload)
+
+
+DECODERS = {"image": _decode_image, "audio": _decode_audio}
+
+
+def _fake_bmp(media_id: int) -> bytes:
+    """Deterministic real BMP payload (gradient + id-keyed phase)."""
+    w, h = 32 + (media_id % 3) * 16, 24 + (media_id % 2) * 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = ((xx * 7 + yy * 13 + media_id * 31) % 256).astype(np.uint8)
+    if media_id % 2:
+        return encode_bmp(px)  # 8bpp grayscale
+    rgb = np.stack([px, (px * 2) % 256, (px * 3) % 256], axis=-1).astype(np.uint8)
+    return encode_bmp(rgb)  # 24bpp
+
+
+def _fake_wav(media_id: int, sr: int = 16000) -> bytes:
+    """Deterministic real PCM16 WAV payload (sine burst, id-keyed)."""
+    t = np.arange(sr // 10, dtype=np.float64)
+    freq = 220.0 * (1 + media_id % 8)
+    samples = (np.sin(2 * np.pi * freq * t / sr) * 12000).astype(np.int16)
+    return encode_wav(samples, sr)
 
 
 def media_table(spark, n: int = 200, partitions: int = 8) -> DataFrame:
-    """Synthetic media table (deterministic), kind alternating."""
+    """Synthetic media table (deterministic), kind alternating; half the
+    image/audio rows carry REAL containers (BMP / PCM16 WAV) exercising
+    the from-scratch decoders, the other half the FAKE container that
+    stands in for compressed codecs."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -84,8 +240,20 @@ def media_table(spark, n: int = 200, partitions: int = 8) -> DataFrame:
             for i in pdf["id"]:
                 i = int(i)
                 kind = kinds[i % 3]
-                payload = encode_fake_media(i, kind)
-                w, h, frames, sr = struct.unpack("<4i", payload[4:20])
+                real = (i // 3) % 2 == 0
+                if kind == "image" and real:
+                    payload = _fake_bmp(i)
+                    px = decode_bmp(payload)
+                    h, w = px.shape[:2]
+                    frames, sr = 1, 0
+                elif kind == "audio" and real:
+                    payload = _fake_wav(i)
+                    samples, sr = decode_wav(payload)
+                    w = h = 0
+                    frames = 1
+                else:
+                    payload = encode_fake_media(i, kind)
+                    w, h, frames, sr = struct.unpack("<4i", payload[4:20])
                 rows.append(
                     {
                         "media_id": i,
@@ -143,15 +311,48 @@ def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
     )
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage: STUB — declares the output schema/metadata update;
-    raises on actual pixel work (no imaging library here)."""
+def resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample, pure numpy index arithmetic (the
+    sampling rule PIL calls NEAREST): out[y, x] = in[floor((y+.5)*h/H),
+    floor((x+.5)*w/W)]."""
+    h, w = px.shape[:2]
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return px[np.ix_(ys, xs)]
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage over decodable images: BMP rows are decoded
+    (decode_bmp), nearest-neighbor resampled in numpy, re-encoded as BMP
+    with updated meta. Rows of other kinds pass through untouched;
+    compressed image codecs raise NotImplementedError (honest stub — no
+    imaging library in this container)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "resize requires a real imaging library (PIL/opencv), "
-            "not available in this container"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                payload = bytes(payload)
+                if kind == "image":
+                    if payload[:2] != b"BM":
+                        raise NotImplementedError(
+                            "resize of compressed image codecs requires a real "
+                            "imaging library (PIL/opencv), not in this container"
+                        )
+                    px = resize_nearest(decode_bmp(payload), width, height)
+                    payload = encode_bmp(px)
+                    meta = dict(meta)
+                    meta["width"], meta["height"] = width, height
+                rows.append(
+                    {"media_id": media_id, "kind": kind, "payload": payload,
+                     "meta": meta}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
 
     return media.mapInPandas(run, schema=MEDIA_DDL)
+
+
+# backwards-compat alias for the pre-r3 stub name
+resize_stub = resize_images

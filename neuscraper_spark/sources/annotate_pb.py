@@ -250,3 +250,30 @@ def annotations_from_zip(spark, zip_path: str):
         run,
         schema="cw22id string, url string, language string, node_id int, ann_type string",
     )
+
+
+def pages_from_zip(spark, zip_path: str):
+    """ClueWeb22 vdom zip -> (url, html) page rows — the input shape of
+    the extraction pipeline, so a zip can be scored and evaluated against
+    its own embedded annotations (jobs/build_test.py)."""
+    import zipfile
+
+    import pandas as pd
+
+    with zipfile.ZipFile(zip_path) as z:
+        names = sorted(z.namelist())
+    names_df = spark.createDataFrame(
+        pd.DataFrame({"member": names})
+    ).repartition(max(1, min(len(names), 64)))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        with zipfile.ZipFile(zip_path) as z:
+            for pdf in batches:
+                rows = []
+                for member in pdf["member"]:
+                    rec = parse_annotate_html(z.read(member))
+                    if rec["html"]:
+                        rows.append({"url": rec["url"], "html": rec["html"]})
+                yield pd.DataFrame(rows, columns=["url", "html"])
+
+    return names_df.mapInPandas(run, schema="url string, html binary")

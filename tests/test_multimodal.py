@@ -1,5 +1,9 @@
-"""Multimodal plumbing: schema, decode stage, frame sampling, stubs."""
+"""Multimodal plumbing: schema, real BMP/WAV codecs, decode stage,
+frame sampling, resize, honest stubs for compressed codecs."""
 
+import struct
+
+import numpy as np
 import pytest
 
 from neuscraper_spark.operators import multimodal as M
@@ -39,11 +43,126 @@ def test_frame_sample(spark, media):
     assert (frames["frame_idx"] % 4 == 0).all()
 
 
-def test_resize_is_stubbed(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|resize requires"):
-        M.resize_stub(media, 32, 32).count()
-
-
-def test_decode_rejects_real_payload():
+def test_decode_rejects_compressed_payload():
     with pytest.raises(NotImplementedError):
-        M._decode_image_stub(b"\xff\xd8\xff\xe0 fake jpeg header")
+        M._decode_image(b"\xff\xd8\xff\xe0 fake jpeg header" + b"\0" * 40)
+
+
+# ------------------------------------------------------------- BMP codec
+
+
+def test_bmp_roundtrip_24bpp_odd_width():
+    # width 33: row stride 99 -> padded to 100, exercises the pad path
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(17, 33, 3), dtype=np.uint8)
+    assert np.array_equal(M.decode_bmp(M.encode_bmp(px)), px)
+
+
+def test_bmp_roundtrip_8bpp_gray():
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, size=(9, 31), dtype=np.uint8)
+    assert np.array_equal(M.decode_bmp(M.encode_bmp(px)), px)
+
+
+def test_bmp_golden_layout():
+    """Pin the wire layout: 2x2 24bpp image, bottom-up BGR rows."""
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [1, 2, 3]]], dtype=np.uint8
+    )
+    raw = M.encode_bmp(px)
+    assert raw[:2] == b"BM"
+    data_offset = struct.unpack_from("<I", raw, 10)[0]
+    assert data_offset == 54  # no palette for 24bpp
+    # bottom row first, BGR, rows padded to 8 bytes
+    assert raw[54:60] == bytes([255, 0, 0, 3, 2, 1])  # blue px, (1,2,3) as BGR
+    assert raw[62:68] == bytes([0, 0, 255, 0, 255, 0])  # red px, green px
+
+
+def test_bmp_rejects_compression():
+    raw = bytearray(M.encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8)))
+    struct.pack_into("<I", raw, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        M.decode_bmp(bytes(raw))
+
+
+# ------------------------------------------------------------- WAV codec
+
+
+def test_wav_roundtrip_mono16():
+    rng = np.random.default_rng(7)
+    s = rng.integers(-30000, 30000, size=1600, dtype=np.int16)
+    got, sr = M.decode_wav(M.encode_wav(s, 8000))
+    assert sr == 8000 and np.array_equal(got, s)
+
+
+def test_wav_roundtrip_stereo16():
+    rng = np.random.default_rng(8)
+    s = rng.integers(-30000, 30000, size=(800, 2), dtype=np.int16)
+    got, sr = M.decode_wav(M.encode_wav(s, 44100))
+    assert sr == 44100 and got.shape == (800, 2) and np.array_equal(got, s)
+
+
+def test_wav_skips_extra_chunks_and_pads():
+    """LIST chunk before fmt/data, odd-size chunk padding honoured."""
+    s = np.arange(100, dtype=np.int16)
+    raw = M.encode_wav(s, 16000)
+    # splice an odd-sized junk chunk right after 'WAVE'
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\0"  # 5 bytes + pad
+    spliced = raw[:12] + junk + raw[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    got, sr = M.decode_wav(spliced)
+    assert sr == 16000 and np.array_equal(got, s)
+
+
+def test_wav_8bit_widened():
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = bytes([0, 128, 255])
+    raw = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data) + 1)
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data + b"\0")
+    got, sr = M.decode_wav(raw)
+    assert got.tolist() == [-32768, 0, 32512]
+
+
+# ------------------------------------------------------------- resize
+
+
+def test_resize_nearest_identity_and_downscale():
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert np.array_equal(M.resize_nearest(px, 8, 8), px)
+    half = M.resize_nearest(px, 4, 4)
+    assert half.shape == (4, 4)
+    # center-sampling picks px[1,1], px[1,3], ...
+    assert half[0, 0] == px[1, 1] and half[3, 3] == px[7, 7]
+
+
+def test_resize_images_spark(spark, media):
+    bmp_rows = media.filter("kind = 'image'")
+    out = M.resize_images(bmp_rows.filter(
+        "media_id % 2 = 0"), 16, 12).toPandas()  # BMP rows only (even ids)
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        assert r["meta"]["width"] == 16 and r["meta"]["height"] == 12
+        px = M.decode_bmp(bytes(r["payload"]))
+        assert px.shape[:2] == (12, 16)
+
+
+def test_resize_compressed_raises(spark, media):
+    fake = media.filter("kind = 'image' AND media_id % 2 = 1")  # FAKE container
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        M.resize_images(fake, 16, 16).count()
+
+
+def test_media_table_real_rows_decode(spark, media):
+    """The real-container rows decode through the real codecs to the
+    declared meta shapes."""
+    pdf = media.toPandas().sort_values("media_id")
+    for _, r in pdf.iterrows():
+        payload = bytes(r["payload"])
+        if r["kind"] == "image" and payload[:2] == b"BM":
+            px = M.decode_bmp(payload)
+            assert px.shape[0] == r["meta"]["height"]
+            assert px.shape[1] == r["meta"]["width"]
+        if r["kind"] == "audio" and payload[:4] == b"RIFF":
+            s, sr = M.decode_wav(payload)
+            assert sr == r["meta"]["sample_rate"] and len(s) == sr // 10
