@@ -87,6 +87,34 @@ def test_simhash_near_pairs(spark, docs):
     assert (0, 2) in found  # one-word change -> small hamming
 
 
+def test_simhash_vectorized_matches_scalar(spark, docs):
+    """The batched FNV-1a / reduceat path must be bit-identical to the
+    per-word scalar reference (hash_word + the original accumulation)."""
+    import re
+
+    import numpy as np
+
+    words = ["alpha", "βeta", "naïve", "x", "committee", "09'z"]
+    vec = D._fnv1a_words_vec(words)
+    assert [int(v) for v in vec] == [D.hash_word(w) for w in words]
+
+    word_re = re.compile(r"[a-z0-9à-ÿ']+")
+
+    def scalar_simhash(text: str) -> int:
+        ws = word_re.findall((text or "").lower())
+        acc = np.zeros(D.SIMHASH_BITS, dtype=np.int64)
+        for w in ws:
+            h = np.uint64(D.hash_word(w))
+            bits = (h >> np.arange(D.SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        sig = int(((acc > 0).astype(np.uint64) << np.arange(D.SIMHASH_BITS, dtype=np.uint64)).sum(dtype=np.uint64))
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    got = D.simhash_signatures(docs).toPandas().set_index("id")["simhash"].to_dict()
+    for row in docs.toPandas().itertuples():
+        assert got[row.doc_id] == scalar_simhash(row.text), row.doc_id
+
+
 def test_connected_components_transitive(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (8, 9), (1, 3)], "id_a long, id_b long"
