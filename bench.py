@@ -206,7 +206,7 @@ def main() -> None:
         ("s1", lc(1, 2), 2, False, 3, False),
         ("s4", lc(4, 2), 8, False, 3, False),
         ("e2", lc(e_q), e_q * ce, False, 3, False),
-        ("e8", lc(e_full), e_full * ce, False, 4, False),
+        ("e8", lc(e_full), e_full * ce, False, 3, False),
         ("s1", lc(1, 2), 2, False, 3, False),
         ("s4", lc(4, 2), 8, False, 3, False),
         ("s1", lc(1, 2), 2, False, 3, False),
@@ -282,10 +282,9 @@ def main() -> None:
     # 4x executors into 4x throughput (scheduler, waves, stragglers,
     # single-driver overhead). Denominator carries 4 drivers vs the
     # numerator's 1 — a conservative bias AGAINST the engine.
-    iso = None
-    try:
+    def _iso_pair(tag: str) -> dict:
         _wait_quiet()
-        iso_num_file = f"{CACHE_ROOT}/iso_num.json"
+        iso_num_file = f"{CACHE_ROOT}/iso_num_{tag}.json"
         cmd = [sys.executable, os.path.abspath(__file__), "--child", lc(4, 2),
                str(n_pages), "0", iso_num_file, "3", "0"]
         if taskset:
@@ -294,7 +293,7 @@ def main() -> None:
                        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         procs = []
         for i, cs in enumerate(("0-1", "2-3", "4-5", "6-7")):
-            out_i = f"{CACHE_ROOT}/iso_den_{i}.json"
+            out_i = f"{CACHE_ROOT}/iso_den_{tag}_{i}.json"
             cmd = [sys.executable, os.path.abspath(__file__), "--child",
                    lc(1, 2), str(n_pages), "0", out_i, "3", "0"]
             if taskset:
@@ -305,16 +304,28 @@ def main() -> None:
         for p in procs:
             p.wait()
         with open(iso_num_file) as f:
-            iso_num = json.load(f)["fused_docs_per_sec"]
-        iso_den = []
+            num = json.load(f)["fused_docs_per_sec"]
+        den = []
         for i in range(4):
-            with open(f"{CACHE_ROOT}/iso_den_{i}.json") as f:
-                iso_den.append(json.load(f)["fused_docs_per_sec"])
+            with open(f"{CACHE_ROOT}/iso_den_{tag}_{i}.json") as f:
+                den.append(json.load(f)["fused_docs_per_sec"])
+        return {
+            "four_exec_rate": num,
+            "sum_of_4_concurrent_1exec": round(sum(den), 2),
+            "concurrent_1exec_rates": den,
+            "ratio": round(num / sum(den), 3),
+        }
+
+    iso = None
+    try:
+        # two interleaved pairs: a load burst landing on one sub-window
+        # affects one pair, and the median-of-ratios damps it
+        pairs = [_iso_pair("a"), _iso_pair("b")]
         iso = {
-            "four_exec_rate": iso_num,
-            "sum_of_4_concurrent_1exec": round(sum(iso_den), 2),
-            "concurrent_1exec_rates": iso_den,
-            "value": round(iso_num / sum(iso_den), 3),
+            "pairs": pairs,
+            "value": round(
+                statistics.median(p["ratio"] for p in pairs), 3
+            ),
         }
     except Exception as e:  # never fail the whole bench on the extra stat
         iso = {"error": str(e)[:200]}
