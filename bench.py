@@ -36,7 +36,7 @@ Round-2 protocol (full analysis + all raw numbers: BENCH/BASELINE.md):
   The 4-core pairs and both full curves are published unadjusted
   alongside, including the saturated 2->8-executor (8->32 core) pair.
 - LOADAVG GATING: the host shows external load spikes (other tenants,
-  invisible in-container); each child waits up to 3 min for
+  invisible in-container); each child waits up to 120 s for
   1-min loadavg < 3.0 and records the loadavg it started at.
 - THREAD-MODE levels (local[N]) are kept for the flagship timing,
   micro-queries, the staged plan, and continuity with earlier rounds.
@@ -429,7 +429,7 @@ def main() -> None:
         "protocol": (
             "steady-state (plan built once per level, best-of-k reruns); "
             "executor levels = real local-cluster executor JVMs; "
-            "children gated on 1-min loadavg < 3 (max 180s wait); "
+            "children gated on 1-min loadavg < 3 (max 120s wait, 600s run budget); "
             "headline = pre-registered 2-core 1->4 executor pair, median "
             "over interleaved samples"
         ),

@@ -59,21 +59,32 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     spark = get_spark("build_test")
 
-    gold = gold_from_zip(spark, args.vdom_zip)
+    from pyspark.sql import functions as F
+
+    from neuscraper_spark.functions.text import escape_gold
+
+    # cached: each feeds both its CSV write and the --eval pass (the
+    # neural forward and the zip gold parse must not run twice)
+    gold = gold_from_zip(spark, args.vdom_zip).cache()
     pages = pages_from_zip(spark, args.vdom_zip)
     nodes = parse_nodes(pages).cache()
-    tn = text_nodes(nodes)
+    tn = text_nodes(nodes).cache()
     pred = predictions(
         kept_nodes(score_nodes(spark, chunk_nodes(nodes)), threshold=threshold)
-    )
+    ).cache()
 
+    # text is #N#/#TAB#/#R#-escaped in the files (the reference's eval
+    # file format — evaluator.py unescapes on read); the in-process
+    # DataFrames stay raw, matching the in-process eval path.
     gold_dir = os.path.join(args.out, "_gold")
     (gold.toDF("Url", "TextNodeId", "Text", "JudgmentIsPrimary")
+     .withColumn("Text", escape_gold(F.col("Text")))
      .coalesce(1).write.mode("overwrite").csv(gold_dir, header=True))
     _single_file(gold_dir, os.path.join(args.out, "gold.csv"))
 
     tn_dir = os.path.join(args.out, "_text_nodes")
     (tn.toDF("Url", "TextNodeId", "Text")
+     .withColumn("Text", escape_gold(F.col("Text")))
      .coalesce(1).write.mode("overwrite").csv(tn_dir, header=True))
     _single_file(tn_dir, os.path.join(args.out, "text_nodes.csv"))
 

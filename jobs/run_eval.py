@@ -28,6 +28,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    from neuscraper_spark.functions.text import unescape_gold
     from neuscraper_spark.operators.evaluate import evaluate
     from neuscraper_spark.session import get_spark
 
@@ -40,10 +41,15 @@ def main() -> None:
         .withColumn("text_node_id", F.col("text_node_id").cast("int"))
         .filter(F.col("task") == args.task)
     )
+    # text-node text is #N#/#TAB#/#R#-escaped in the files (so embedded
+    # control chars survive single-line CSV); unescape on read so the
+    # assembled prediction text is raw, exactly like the in-process
+    # path (gold is unescaped inside evaluate(), evaluator.py:75,86)
     text_nodes = (
         spark.read.csv(args.text_nodes, header=True)
         .toDF("url", "text_node_id", "text")
         .withColumn("text_node_id", F.col("text_node_id").cast("int"))
+        .withColumn("text", unescape_gold(F.col("text")))
     )
     gold = (
         spark.read.csv(args.gold, header=True)

@@ -38,3 +38,14 @@ def unescape_gold(col: Column) -> Column:
 
 def unescape_gold_py(s: str) -> str:
     return s.replace("#N#", "\n").replace("#TAB#", "\t").replace("#R#", "\r")
+
+
+def escape_gold(col: Column) -> Column:
+    """Inverse of unescape_gold — writers of gold/text-node CSV files
+    must escape embedded control characters the way the reference's
+    eval files carry them, or a text node containing a newline becomes
+    a multiline-quoted CSV field that single-line readers misparse."""
+    out = F.replace(col, F.lit("\n"), F.lit("#N#"))
+    out = F.replace(out, F.lit("\t"), F.lit("#TAB#"))
+    out = F.replace(out, F.lit("\r"), F.lit("#R#"))
+    return out

@@ -115,7 +115,19 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     pal = np.frombuffer(payload, dtype=np.uint8, count=n_colors * 4,
                         offset=14 + hdr_size).reshape(n_colors, 4)
     idx = px[:, :width]
-    # grayscale palette (r==g==b) maps straight to intensity
+    # only a grayscale palette (b==g==r for every USED entry) maps to a
+    # 2-D intensity array; a color palette must not silently decode to
+    # its blue channel — raise like the other unsupported-format paths
+    used = np.unique(idx)
+    used_pal = pal[used]
+    if not (
+        np.array_equal(used_pal[:, 0], used_pal[:, 1])
+        and np.array_equal(used_pal[:, 1], used_pal[:, 2])
+    ):
+        raise NotImplementedError(
+            "8bpp BMP with a non-grayscale palette not supported "
+            "(decode would need a [h, w, 3] palette lookup)"
+        )
     return pal[idx, 0].copy()
 
 

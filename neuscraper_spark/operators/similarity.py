@@ -271,8 +271,19 @@ def build_ivf_index(
     Returns the TableWriter snapshot dict. The cell partitioning is the
     scale design: each stored partition is one inverted list, so a probe
     reads only the nprobe/n_centroids slice of the corpus (partition
-    pruning on the hive dirs), and appending new vectors is a resumable
-    per-cell commit."""
+    pruning on the hive dirs).
+
+    ``mode="resume"`` is CRASH RECOVERY of the same build only: centroid
+    training is deterministic (id-strided sample, fixed seed), so
+    re-running after a mid-write crash completes the identical index by
+    filling in uncommitted cell partitions. It is NOT an append path —
+    TableWriter's resume skips already-committed partitions, so new
+    vectors falling into existing cells would be silently dropped.
+    To grow a served index use ``append_ivf_index`` (assigns new
+    vectors with the STORED centroids, no retrain); rebuild periodically
+    when the corpus distribution drifts."""
+    if mode not in ("overwrite", "resume"):
+        raise ValueError(f"mode must be overwrite|resume, got {mode!r}")
     from ..sources.writer import TableWriter
 
     cents = train_ivf_centroids(
@@ -291,6 +302,47 @@ def build_ivf_index(
 def load_ivf_centroids(spark, index_root: str) -> np.ndarray:
     rows = spark.read.parquet(f"{index_root}/centroids").orderBy("cell").collect()
     return np.array([list(r["centroid"]) for r in rows], dtype=np.float32)
+
+
+def _delta_roots(index_root: str) -> list[str]:
+    import os
+
+    droot = f"{index_root}/deltas"
+    if not os.path.isdir(droot):
+        return []
+    return [
+        os.path.join(droot, d)
+        for d in sorted(os.listdir(droot))
+        if d.startswith("g") and os.path.isdir(os.path.join(droot, d))
+    ]
+
+
+def append_ivf_index(spark, new_emb: DataFrame, index_root: str,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> dict:
+    """Grow a stored IVF index WITHOUT retraining: assign the new
+    vectors with the STORED centroids and commit them as the next
+    delta generation —
+
+        <index_root>/deltas/g<N>/   its own cell-partitioned
+                                    TableWriter table (manifests,
+                                    crash-resumable like the base)
+
+    Probes read base ∪ deltas with the same cell filter, so the
+    inverted-list pruning is unchanged. Committed generations are
+    immutable (the Iceberg append model: new snapshot, no rewrite of
+    committed files); rebuild when the corpus distribution drifts far
+    enough that stored centroids stop partitioning it well."""
+    import os
+
+    from ..sources.writer import TableWriter
+
+    cents = load_ivf_centroids(spark, index_root)
+    assigned = ivf_assign(new_emb, cents, nprobe=1, vec_col=vec_col, id_col=id_col)
+    gen = len(_delta_roots(index_root))
+    os.makedirs(f"{index_root}/deltas", exist_ok=True)
+    return TableWriter(
+        root=f"{index_root}/deltas/g{gen}", partition_col="cell"
+    ).write(assigned, mode="overwrite")
 
 
 def ann_ivf_topk_indexed(
@@ -323,11 +375,14 @@ def ann_ivf_topk_indexed(
         "qid long, qvec array<float>, cell int",
     )
     probed = sorted({int(c) for row in top for c in row})
-    corpus_cells = (
-        TableWriter(root=f"{index_root}/cells", partition_col="cell")
-        .read(spark)
-        .filter(F.col("cell").isin(probed))
-    )
+    corpus_cells = TableWriter(
+        root=f"{index_root}/cells", partition_col="cell"
+    ).read(spark)
+    for droot in _delta_roots(index_root):
+        corpus_cells = corpus_cells.unionByName(
+            TableWriter(root=droot, partition_col="cell").read(spark)
+        )
+    corpus_cells = corpus_cells.filter(F.col("cell").isin(probed))
     return _ivf_probe(corpus_cells, q_cells, k)
 
 

@@ -762,7 +762,7 @@ def d1_exact_dedup(spark, sf_dir):
     FROM shared
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared) >= 0.2
+    WHERE round(CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared), 6) >= 0.2
     """,
 )
 def d2_ngram_jaccard(spark, sf_dir):
@@ -796,7 +796,7 @@ def d2_ngram_jaccard(spark, sf_dir):
       SELECT id_a, id_b FROM shared
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
-      WHERE CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared) >= 0.2
+      WHERE round(CAST(shared AS DOUBLE) / (sa.n_grams + sb.n_grams - shared), 6) >= 0.2
     ),
     bidir AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -837,7 +837,10 @@ _SHINGLE_JACCARD_SQL = """
     )
     SELECT id_a, id_b, round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6) AS jaccard
     FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= {thr}
+    -- filter on the ROUNDED value, exactly like the Spark side
+    -- (operators/dedup.py exact_shingle_jaccard_pairs): a boundary pair
+    -- must pass or fail identically on both engines
+    WHERE round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6) >= {thr}
     """
 
 

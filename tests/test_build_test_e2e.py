@@ -22,8 +22,23 @@ def vdom_zip(tmp_path_factory):
     from neuscraper_spark.sources.annotate_pb import encode_annotate_html
 
     zp = str(tmp_path_factory.mktemp("vdom") / "en0001-01.zip")
+    pages = list(gen_pages(33, 12))
+    # one page with an INTERIOR newline + tab inside a single text node:
+    # its gold/text-node CSV field must round-trip through the
+    # #N#/#TAB# escaping (a multiline-quoted field would break the
+    # single-line readers and desync file metrics from in-process ones)
+    pages.append(
+        {
+            "url": "https://edge.example/multiline",
+            "html": (
+                "<html><body><div>first line\nsecond\tline with words "
+                "enough to be a real paragraph of content here"
+                "</div><div>nav</div></body></html>"
+            ).encode(),
+        }
+    )
     with zipfile.ZipFile(zp, "w") as z:
-        for i, p in enumerate(gen_pages(33, 12)):
+        for i, p in enumerate(pages):
             html = p["html"] if isinstance(p["html"], bytes) else p["html"].encode()
             rows = [r for r in gold_rows_for_page(html) if r["is_text_node"]]
             primary = [r["node_id"] for r in rows if r["labels"][0]]
@@ -59,6 +74,11 @@ def test_build_test_then_run_eval(vdom_zip, tmp_path):
     with open(os.path.join(out, "predictions.tsv")) as f:
         first = f.readline().rstrip("\n").split("\t")
     assert len(first) == 3 and first[2] == "Primary"
+    # the multiline node's text must be escaped, not multiline-quoted
+    with open(os.path.join(out, "text_nodes.csv")) as f:
+        tn_raw = f.read()
+    assert "first line#N#second#TAB#line" in tn_raw
+    assert "first line\nsecond" not in tn_raw
 
     # the file-driven eval CLI reproduces the in-process metric line
     r2 = subprocess.run(

@@ -97,6 +97,11 @@ def test_simhash_vectorized_matches_scalar(spark, docs):
     words = ["alpha", "βeta", "naïve", "x", "committee", "09'z"]
     vec = D._fnv1a_words_vec(words)
     assert [int(v) for v in vec] == [D.hash_word(w) for w in words]
+    # memory-bounded grouped path (tiny budget forces length-sorted
+    # groups, incl. a pathological long token) is bit-identical too
+    words2 = words + ["z" * 5000, "mid", "a" * 40]
+    vec2 = D._fnv1a_words_vec(words2, cell_budget=64)
+    assert [int(v) for v in vec2] == [D.hash_word(w) for w in words2]
 
     word_re = re.compile(r"[a-z0-9à-ÿ']+")
 

@@ -166,3 +166,19 @@ def test_media_table_real_rows_decode(spark, media):
         if r["kind"] == "audio" and payload[:4] == b"RIFF":
             s, sr = M.decode_wav(payload)
             assert sr == r["meta"]["sample_rate"] and len(s) == sr // 10
+
+
+def test_bmp_color_palette_raises():
+    """8bpp BMP with a COLOR palette must raise (not silently return the
+    blue channel); an unused color entry must not trip the guard."""
+    img = np.full((4, 4), 7, dtype=np.uint8)
+    raw = bytearray(M.encode_bmp(img))
+    off = 14 + 40 + 7 * 4  # palette entry 7 (used by every pixel)
+    raw[off:off + 3] = bytes([10, 20, 30])
+    with pytest.raises(NotImplementedError):
+        M.decode_bmp(bytes(raw))
+
+    raw2 = bytearray(M.encode_bmp(img))
+    off2 = 14 + 40 + 9 * 4  # entry 9 is unused
+    raw2[off2:off2 + 3] = bytes([10, 20, 30])
+    assert M.decode_bmp(bytes(raw2)).shape == (4, 4)

@@ -97,3 +97,48 @@ def test_ivf_stored_index_matches_on_the_fly(spark, tmp_path):
     all_probed = ann_ivf_topk_indexed(spark, root, q, k=5, nprobe=8).collect()
     bf = brute_force_topk(emb, q, k=5).collect()
     assert sorted(map(tuple, all_probed)) == sorted(map(tuple, bf))
+
+
+def test_ivf_index_append_generation(spark, tmp_path):
+    """append_ivf_index grows the stored index without retraining: an
+    appended vector is findable (its own query returns it at sim 1.0),
+    probe-all over base+delta == brute force over the grown corpus."""
+    from pyspark.sql import functions as F
+
+    from neuscraper_spark.operators.similarity import (
+        append_ivf_index,
+        brute_force_topk,
+        build_ivf_index,
+        ann_ivf_topk_indexed,
+        queries_from_ids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "ivf_index")
+    build_ivf_index(spark, emb, root, n_centroids=8)
+
+    # new batch = existing vectors with shifted ids (so they land in
+    # known cells and their nearest neighbour is their source vector)
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    new = emb.limit(4).select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"), "embedding", "label"
+    )
+    snap = append_ivf_index(spark, new, root)
+    assert snap["rows_written"] == 4
+
+    new_ids = [r["vec_id"] for r in new.select("vec_id").collect()]
+    q = queries_from_ids(new, new_ids[:2])
+    got = ann_ivf_topk_indexed(spark, root, q, k=3, nprobe=8).collect()
+    grown = emb.unionByName(new)
+    bf = brute_force_topk(grown, q, k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, bf))
+    # each appended vector's nearest (non-self) hit is its source
+    # vector — identical embedding, cosine 1.0 — proving the delta
+    # generation actually participates in the probe
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["nid"] == qid - max_id - 1
+        assert best["cosine"] == 1.0
