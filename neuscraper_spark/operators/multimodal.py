@@ -158,33 +158,52 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM -> (samples, sample_rate); samples are int16,
-    [n] mono or [n, channels]. From-scratch chunk walk of the public
-    RIFF container: unknown chunks (LIST, fact, cue ...) are skipped,
-    odd-sized chunks honour the RIFF pad byte; 8-bit PCM (unsigned) is
-    widened to int16."""
+    """RIFF/WAVE PCM -> (samples, sample_rate); samples are int16 for
+    integer PCM ([n] mono or [n, channels]; 8/24-bit widened/narrowed
+    to int16), float32 for IEEE-float PCM (format 3). From-scratch
+    chunk walk of the public RIFF container: unknown chunks (LIST,
+    fact, cue ...) are skipped, odd-sized chunks honour the RIFF pad
+    byte; WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves through its
+    SubFormat GUID."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fmt_body = 12, None, None, b""
     while pos + 8 <= len(payload):
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
-        raise NotImplementedError(
-            f"only PCM 8/16-bit WAV supported (format={audio_format}, bits={bits})"
-        )
-    if bits == 16:
+    if audio_format == 0xFFFE and len(fmt_body) >= 40:
+        # EXTENSIBLE: the real format is the first 2 bytes of the
+        # 16-byte SubFormat GUID (public ksmedia.h layout)
+        audio_format = struct.unpack_from("<H", fmt_body, 24)[0]
+    if audio_format == 3:  # IEEE float PCM
+        if bits != 32:
+            raise NotImplementedError(f"float WAV must be 32-bit (got {bits})")
+        samples = np.frombuffer(data, dtype="<f4")
+    elif audio_format == 1 and bits == 16:
         samples = np.frombuffer(data, dtype="<i2")
-    else:
+    elif audio_format == 1 and bits == 8:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
+    elif audio_format == 1 and bits == 24:
+        # 3-byte little-endian signed -> int32 -> keep the top 16 bits
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3).astype(np.int32)
+        val = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        val = np.where(val >= 1 << 23, val - (1 << 24), val)
+        samples = (val >> 8).astype(np.int16)
+    else:
+        raise NotImplementedError(
+            f"only PCM 8/16/24-bit and float32 WAV supported "
+            f"(format={audio_format}, bits={bits})"
+        )
     if channels > 1:
         samples = samples[: len(samples) - len(samples) % channels].reshape(-1, channels)
     return samples, sample_rate

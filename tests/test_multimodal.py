@@ -182,3 +182,42 @@ def test_bmp_color_palette_raises():
     off2 = 14 + 40 + 9 * 4  # entry 9 is unused
     raw2[off2:off2 + 3] = bytes([10, 20, 30])
     assert M.decode_bmp(bytes(raw2)).shape == (4, 4)
+
+
+def _wav(fmt_code, bits, data, channels=1, rate=8000, extensible=False):
+    if extensible:
+        # real WAVE_FORMAT_EXTENSIBLE layout: base(16) + cbSize(2) +
+        # wValidBitsPerSample(2) + dwChannelMask(4) + SubFormat GUID(16)
+        sub = struct.pack("<H", fmt_code) + b"\x00\x00" + b"\x00" * 12
+        fmt = (struct.pack("<HHIIHH", 0xFFFE, channels, rate,
+                           rate * channels * bits // 8, channels * bits // 8,
+                           bits)
+               + struct.pack("<HHI", 22, bits, 0) + sub)
+    else:
+        fmt = struct.pack("<HHIIHH", fmt_code, channels, rate,
+                          rate * channels * bits // 8, channels * bits // 8, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_float32_and_24bit():
+    # float32 PCM (format 3)
+    f32 = np.array([0.5, -0.25, 1.0, -1.0], dtype="<f4")
+    s, rate = M.decode_wav(_wav(3, 32, f32.tobytes()))
+    assert rate == 8000 and s.dtype == np.float32
+    assert np.array_equal(s, f32)
+
+    # 24-bit PCM: value 0x123456 -> top 16 bits 0x1234; -1 -> -1>>8 = -1
+    data = bytes([0x56, 0x34, 0x12]) + bytes([0xFF, 0xFF, 0xFF])
+    s, _ = M.decode_wav(_wav(1, 24, data))
+    assert s.dtype == np.int16
+    assert s[0] == 0x1234 and s[1] == -1
+
+    # EXTENSIBLE wrapper resolves through the SubFormat GUID
+    s, _ = M.decode_wav(_wav(3, 32, f32.tobytes(), extensible=True))
+    assert np.array_equal(s, f32)
+
+    # unsupported bit depth still raises
+    with pytest.raises(NotImplementedError):
+        M.decode_wav(_wav(3, 64, b"\x00" * 16))
