@@ -27,7 +27,10 @@ ANNOTATION_TYPES = ("None", "Primary", "Heading", "Title", "Paragraph", "Table",
 
 def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
     result = shift = 0
+    n = len(data)
     while True:
+        if pos >= n:
+            raise ValueError("truncated varint")
         b = data[pos]
         result |= (b & 0x7F) << shift
         pos += 1
@@ -65,10 +68,17 @@ def _fields(data: bytes) -> Iterator[tuple[int, int, int, int]]:
             yield field, wire, val, pos
         elif wire == 2:
             ln, pos = _read_varint(data, pos)
+            if pos + ln > n:
+                # a silently-short data[a:b] slice would hand callers a
+                # truncated payload as if it were complete
+                raise ValueError("truncated length-delimited field")
             yield field, wire, pos, pos + ln
             pos += ln
         else:
-            yield field, wire, pos, (pos := _skip(data, pos, wire))
+            pos2 = _skip(data, pos, wire)
+            if pos2 > n:
+                raise ValueError("truncated fixed-width field")
+            yield field, wire, pos, (pos := pos2)
 
 
 def _parse_node_annotation(data: bytes) -> tuple[int, int]:

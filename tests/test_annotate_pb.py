@@ -30,8 +30,11 @@ def test_roundtrip():
 
 def test_unknown_fields_skipped():
     # append an unknown varint field (no 15) and a fixed64 (no 16) — the
-    # parser must skip both, as proto3 requires
-    extra = bytes([15 << 3]) + b"\x2a" + bytes([(16 << 3) | 1]) + b"\x00" * 8
+    # parser must skip both, as proto3 requires. Field 16's key
+    # ((16<<3)|1 = 129) needs TWO varint bytes (0x81 0x01) — the r3
+    # strict bounds check caught that this fixture originally encoded
+    # it as one byte, which the lenient parser silently tolerated.
+    extra = bytes([15 << 3]) + b"\x2a" + bytes([0x81, 0x01]) + b"\x00" * 8
     got = parse_annotate_html(encode_annotate_html(REC) + extra)
     assert got == REC
 
@@ -106,3 +109,39 @@ def test_zip_source(spark, tmp_path):
     one = df[df["cw22id"] == "clueweb22-en0001-01-00003"]
     assert sorted(zip(one["node_id"], one["ann_type"])) == [(4, "Primary"), (5, "Paragraph")]
     assert ANNOTATION_TYPES[1] == "Primary"
+
+
+def test_wire_parser_fuzz_fails_cleanly():
+    """Arbitrary / truncated bytes either parse or raise ValueError —
+    never IndexError, never a silently-truncated payload accepted as
+    complete (truncated length-delimited fields now raise)."""
+    import random
+
+    from neuscraper_spark.sources.annotate_pb import (
+        encode_annotate_html, parse_annotate_html,
+    )
+
+    rng = random.Random(7)
+    good = encode_annotate_html(
+        {"url": "https://x", "html": b"<html>ok</html>",
+         "annotations": [(3, 1)], "cw22id": "id-1"}
+    )
+    for _ in range(300):
+        case = rng.randrange(3)
+        if case == 0:  # random garbage
+            data = bytes(rng.randrange(256) for _ in range(rng.randrange(40)))
+        elif case == 1:  # truncated valid message
+            data = good[: rng.randrange(len(good))]
+        else:  # valid message with flipped bytes
+            b = bytearray(good)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            data = bytes(b)
+        try:
+            parse_annotate_html(data)
+        except ValueError:
+            pass  # includes UnicodeDecodeError
+
+    # the full valid message still round-trips
+    rec = parse_annotate_html(good)
+    assert rec["url"] == "https://x" and rec["annotations"] == [(3, 1)]
