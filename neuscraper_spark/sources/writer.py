@@ -133,6 +133,12 @@ class TableWriter:
             shutil.rmtree(self.data_dir)
             for name in list(os.listdir(self.manifest_dir)):
                 os.unlink(os.path.join(self.manifest_dir, name))
+            # overwrite replaces bytes, so prior snapshots can no longer
+            # name them — expire the history (Iceberg expire_snapshots);
+            # otherwise an old snapshot_id could silently resolve to NEW
+            # data for same-valued partitions
+            for name in list(os.listdir(self.snapshot_dir)):
+                os.unlink(os.path.join(self.snapshot_dir, name))
 
         todo = df.filter(~self._pstr().isin(*done) if done else F.lit(True))
 
@@ -208,9 +214,31 @@ class TableWriter:
 
     # ----------------------------------------------------------------- read
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def snapshots(self) -> list[dict]:
+        """Snapshot history, oldest first (snap-<n>.json summaries)."""
+        if not os.path.isdir(self.snapshot_dir):
+            return []
+        out = []
+        for name in sorted(
+            os.listdir(self.snapshot_dir),
+            key=lambda n: int(n[len("snap-") : -len(".json")]),
+        ):
+            with open(os.path.join(self.snapshot_dir, name)) as f:
+                out.append(json.load(f))
+        return out
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """Committed partitions only — uncommitted data files (from a
         crashed run) are invisible, like an Iceberg snapshot read.
+
+        ``snapshot_id`` time-travels to the table AS OF that snapshot:
+        only partitions in its ``total_committed`` list are visible.
+        Valid across an append-only history (resume-mode writes only
+        ADD partitions — committed ones are immutable, so an old
+        snapshot's partition list still names the same bytes). An
+        ``overwrite`` write deletes prior data files, expiring earlier
+        snapshots exactly like Iceberg's expire_snapshots; reading an
+        expired snapshot raises.
 
         Returns the persisted table schema (column order and the
         partition column's original type) even when no partition is
@@ -220,6 +248,21 @@ class TableWriter:
             with open(self.schema_path) as f:
                 saved = StructType.fromJson(json.load(f))
         done = self.committed_partitions()
+        if snapshot_id is not None:
+            snaps = {s["snapshot_id"]: s for s in self.snapshots()}
+            if snapshot_id not in snaps:
+                raise ValueError(
+                    f"unknown snapshot_id {snapshot_id}; "
+                    f"have {sorted(snaps)}"
+                )
+            wanted = set(snaps[snapshot_id]["total_committed"])
+            missing = wanted - done
+            if missing:
+                raise ValueError(
+                    f"snapshot {snapshot_id} is expired: partitions "
+                    f"{sorted(missing)} were removed by a later overwrite"
+                )
+            done = wanted
         if not done:
             if saved is not None:
                 return spark.createDataFrame([], schema=saved)

@@ -47,6 +47,40 @@ def test_writer_resume_skips_committed(spark, docs_df, tmp_path):
     assert snap3["committed_now"] == [] and w.read(spark).count() == 100
 
 
+def test_writer_snapshot_time_travel(spark, docs_df, tmp_path):
+    """read(snapshot_id=N) sees the table AS OF that snapshot across an
+    append-only history; overwrite expires the history."""
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    s0 = w.write(docs_df.filter("bucket in ('0','1')"))
+    s1 = w.write(docs_df)  # resume appends the rest
+
+    full = w.read(spark)
+    old = w.read(spark, snapshot_id=s0["snapshot_id"])
+    assert full.count() == 100
+    assert old.count() == docs_df.filter("bucket in ('0','1')").count()
+    assert set(
+        r["bucket"] for r in old.select("bucket").distinct().collect()
+    ) == {"0", "1"}
+    assert w.read(spark, snapshot_id=s1["snapshot_id"]).count() == 100
+    assert [s["snapshot_id"] for s in w.snapshots()] == [
+        s0["snapshot_id"], s1["snapshot_id"]
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown snapshot_id"):
+        w.read(spark, snapshot_id=99)
+
+    # overwrite expires history: a fresh snapshot 0 exists, the old ids
+    # cannot silently resolve to the new bytes
+    w.write(docs_df.filter("bucket in ('3')"), mode="overwrite")
+    snaps = w.snapshots()
+    assert len(snaps) == 1 and snaps[0]["snapshot_id"] == 0
+    assert w.read(spark, snapshot_id=0).count() == docs_df.filter(
+        "bucket in ('3')"
+    ).count()
+
+
 def test_writer_uncommitted_invisible_and_recovered(spark, docs_df, tmp_path):
     w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
     w.write(docs_df)
