@@ -93,3 +93,25 @@ def test_html_dropped_before_shuffle(spark, wp_parquet):
     plan = plan_of(extract_pipeline(spark, wp_parquet))
     for segment in plan.split("Exchange")[1:]:
         assert "html" not in segment.split("+-")[0]
+
+
+def test_scan_splits_are_cpu_granular(spark, tmp_path):
+    """The r3 scan-split fix: a many-small-files table must not collapse
+    into a handful of byte-packed partitions (the python stage is CPU-
+    bound, so splits must be work-granular — one wave of giant tasks
+    per cluster size was a measured 25-35% throughput loss)."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == "1m"
+    assert spark.conf.get("spark.sql.files.openCostInBytes") == "256k"
+    path = str(tmp_path / "many_files")
+    spark.range(0, 20000).select(
+        "id", F.concat(F.lit("t" * 200), F.col("id")).alias("text")
+    ).repartition(32).write.parquet(path)
+    parts = spark.read.parquet(path).rdd.getNumPartitions()
+    # tiny files may pack a few per split (per-task overhead), but the
+    # fixed 1MB target must keep many waves' worth of splits — and,
+    # unlike the default bytesPerCore scaling, the count is independent
+    # of the session's parallelism, so a small cluster can never see
+    # the whole table as one wave of giant tasks
+    assert parts >= 8, parts
