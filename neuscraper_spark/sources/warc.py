@@ -29,12 +29,19 @@ _CRLF2 = b"\r\n\r\n"
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (the .warc.gz layout)."""
+    """Decompress concatenated gzip members (the .warc.gz layout).
+
+    A corrupt member stops decompression and returns what decoded so
+    far — one damaged record in a crawl shard must not kill the task
+    (the splitter below resyncs on record boundaries the same way)."""
     out = io.BytesIO()
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=47)  # auto gzip/zlib header
-        out.write(d.decompress(data[pos:]))
+        try:
+            out.write(d.decompress(data[pos:]))
+        except zlib.error:
+            break
         consumed = len(data[pos:]) - len(d.unused_data)
         if consumed <= 0:
             break
@@ -43,7 +50,13 @@ def _gunzip_members(data: bytes) -> bytes:
 
 
 def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
-    """Yield (headers, content) per WARC record from raw bytes."""
+    """Yield (headers, content) per WARC record from raw bytes.
+
+    Fail-soft on damaged records (a crawl shard with one corrupt
+    record must not kill the task): a missing/non-numeric/negative
+    Content-Length resyncs to the next ``WARC/`` marker instead of
+    raising — and, critically, never moves ``pos`` backwards (a
+    negative length would otherwise loop forever)."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -60,8 +73,17 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
             if ":" in line:
                 k, v = line.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", 0))
+        try:
+            length = int(headers.get("content-length", 0))
+        except ValueError:
+            length = -1
         body_start = header_end + len(_CRLF2)
+        if length < 0:
+            nxt = data.find(b"WARC/", body_start)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
         yield headers, data[body_start : body_start + length]
         pos = body_start + length
 

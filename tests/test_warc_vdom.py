@@ -78,3 +78,43 @@ def test_vdom_native_matches_python(spark):
         for _, field in VDOM_FIELDS:
             assert row[field] == want[field], (attr, field)
         assert list(row["vec"]) == vdom_feature_vector_py(attr)
+
+
+def test_warc_malformed_records_fail_soft():
+    """Damaged records resync instead of killing the task; a negative
+    Content-Length must not loop forever or raise."""
+    from neuscraper_spark.sources.warc import (
+        build_warc_bytes, parse_warc_bytes, _gunzip_members,
+    )
+
+    good = build_warc_bytes(
+        [("https://a", "2024-01-01T00:00:00Z", b"<html>a</html>"),
+         ("https://b", "2024-01-01T00:00:00Z", b"<html>b</html>")]
+    )
+    # non-numeric Content-Length in an injected record between the two
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad\r\nContent-Length: oops\r\n\r\n"
+        b"garbage body with no length"
+    )
+    half = good.find(b"WARC/", 5)  # start of record 2
+    rows = parse_warc_bytes(good[:half] + bad + good[half:])
+    assert [r["url"] for r in rows] == ["https://a", "https://b"]
+
+    # negative length: resync, terminate
+    neg = bad.replace(b"oops", b"-7")
+    rows = parse_warc_bytes(good[:half] + neg + good[half:])
+    assert [r["url"] for r in rows] == ["https://a", "https://b"]
+
+    # truncated trailing record: keeps the complete ones
+    rows = parse_warc_bytes(good[: len(good) - 10])
+    assert rows[0]["url"] == "https://a"
+
+    # corrupt gzip member: earlier members still decode
+    gz = build_warc_bytes(
+        [("https://a", "2024-01-01T00:00:00Z", b"<html>a</html>")],
+        compress=True,
+    )
+    rows = parse_warc_bytes(gz + b"\x1f\x8b\x08CORRUPT", path="x.warc.gz")
+    assert [r["url"] for r in rows] == ["https://a"]
+    assert _gunzip_members(b"\x1f\x8bnot-a-real-member") == b""
