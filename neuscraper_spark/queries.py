@@ -1054,6 +1054,31 @@ def x4_lang_source_stats(spark, sf_dir):
     return lang_source_stats(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "x5_salted_two_phase_agg",
+    """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def x5_salted_two_phase_agg(spark, sf_dir):
+    # The skew-handling shape (BASELINE.json: salted repartitioning for
+    # zipf hosts), oracle-checked: salt the hot key with a cheap
+    # row-unique hash, partial-aggregate per (key, salt) — the zipf-head
+    # key's rows spread over `salt` tasks — then final-aggregate per
+    # key. Result identical to the direct groupBy; only the shuffle
+    # skew profile differs.
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(8)))
+    partial = salted.groupBy("source", "_salt").agg(
+        F.count("*").alias("pn"), F.sum("n_chars").alias("pc")
+    )
+    return partial.groupBy("source").agg(
+        F.sum("pn").alias("n_docs"), F.sum("pc").alias("total_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # R — multi-join analytical queries (TPC-H-style shapes): exercises join
 # reordering, broadcast-vs-shuffle selection and partial aggregation the
