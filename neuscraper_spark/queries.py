@@ -1275,3 +1275,50 @@ def t_tumbling_window(spark, sf_dir):
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
+
+
+@query(
+    "t5_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def t5_session_window(spark, sf_dir):
+    """Session windows (gap 30 min) per user — the stateful-windowing
+    class the tumbling query doesn't cover. Spark: native
+    ``session_window`` (merges events whose gap to the previous event
+    is < 30 min; window end = last event + gap). Oracle: the classic
+    gaps-and-islands SQL — new session iff the gap is >= the timeout,
+    matching Spark's half-open [start, last+gap) semantics exactly."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
