@@ -86,14 +86,18 @@ class _TreeBuilder(HTMLParser):
         # EOF recovery for truncated pages: stdlib close() flushes an
         # INCOMPLETE trailing tag ('<div cla' at EOF) as literal data
         # ('<' + 'div cla'), which would leak tag soup into extracted
-        # text on every truncated crawl record. The unparsed buffer
-        # starts with '<' exactly when it is such a tag fragment (text
-        # before a '<' is always emitted as soon as the '<' arrives), so
-        # drop the flush then; buffered trailing text / incomplete
-        # entities ('ends with &') still flush normally. bs4's
-        # html.parser builder keeps the fragment; lxml drops it — we
-        # follow lxml (tests/test_html_fuzz.py pins both paths).
-        self._drop_flush = self.rawdata.startswith("<")
+        # text on every truncated crawl record. Drop the flush only when
+        # the buffer is a genuine tag/comment/decl PREFIX — '<' followed
+        # by a letter, '/', '!' or '?' — so literal trailing text like a
+        # lone '<' or '< 3' (which the parser would have emitted as data
+        # mid-stream) still flushes; buffered trailing text / incomplete
+        # entities ('ends with &') flush normally too. bs4's html.parser
+        # builder keeps the fragment; lxml drops it — we follow lxml
+        # (tests/test_html_fuzz.py pins both paths).
+        buf = self.rawdata
+        self._drop_flush = buf.startswith("<") and (
+            buf[1:2].isalpha() or buf[1:2] in ("/", "!", "?")
+        )
         try:
             super().close()
         finally:

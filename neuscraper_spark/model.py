@@ -276,7 +276,8 @@ def score_chunks(chunks_token_ids: list[list[list[int]]], w: dict) -> np.ndarray
     """Score a list of chunks (each: list of per-node 50-id rows).
 
     Returns [n_chunks, CHUNK_SIZE, NUM_CLASSES] quantized scores. The
-    node axis is trimmed to the longest real chunk (rounded up to 32)
+    node axis is trimmed to the longest real chunk (rounded up to a
+    multiple of 8)
     before the forward pass — valid because padded node positions are
     masked out of attention, so real-node scores are independent of the
     padded tail — and re-padded with zeros on return.
@@ -293,7 +294,8 @@ def score_chunks(chunks_token_ids: list[list[list[int]]], w: dict) -> np.ndarray
         n_nodes[i] = max(1, min(len(rows), CHUNK_SIZE))
     # Length-bucketed micro-batches: attention is O(S^2) in the node
     # axis, so group chunks of similar real length (stable argsort) and
-    # trim each micro-batch to ITS OWN max (rounded up to 32) rather
+    # trim each micro-batch to ITS OWN max (rounded up to a multiple
+    # of 8) rather
     # than the whole batch's — a lone 384-node page no longer makes
     # every micro-batch pay [B, H, 384, 384]. Valid for the same reason
     # as the global trim: padded node positions are masked out of

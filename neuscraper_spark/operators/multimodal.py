@@ -170,8 +170,17 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     pos, fmt, data, fmt_body = 12, None, None, b""
     while pos + 8 <= len(payload):
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > len(payload):
+            # truncated chunk: silently decoding a shorter clip would
+            # hide corruption — fail loud like the protobuf parser
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: need {size} bytes, "
+                f"have {len(payload) - pos - 8}"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"WAV fmt chunk too short ({len(body)} < 16 bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
             fmt_body = body
         elif cid == b"data":

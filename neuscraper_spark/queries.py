@@ -1283,7 +1283,7 @@ def t_tumbling_window(spark, sf_dir):
     WITH o AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1302,10 +1302,12 @@ def t_tumbling_window(spark, sf_dir):
 def t5_session_window(spark, sf_dir):
     """Session windows (gap 30 min) per user — the stateful-windowing
     class the tumbling query doesn't cover. Spark: native
-    ``session_window`` (merges events whose gap to the previous event
-    is < 30 min; window end = last event + gap). Oracle: the classic
-    gaps-and-islands SQL — new session iff the gap is >= the timeout,
-    matching Spark's half-open [start, last+gap) semantics exactly."""
+    ``session_window`` (merges an event into the current session when
+    its gap to the previous event is <= 30 min — verified empirically:
+    events exactly 30 min apart merge; window end = last event + gap).
+    Oracle: the classic gaps-and-islands SQL — new session iff the gap
+    is STRICTLY GREATER than the timeout, matching Spark's inclusive
+    merge-at-exact-gap behavior."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(

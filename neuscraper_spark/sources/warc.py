@@ -31,9 +31,12 @@ _CRLF2 = b"\r\n\r\n"
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress concatenated gzip members (the .warc.gz layout).
 
-    A corrupt member stops decompression and returns what decoded so
-    far — one damaged record in a crawl shard must not kill the task
-    (the splitter below resyncs on record boundaries the same way)."""
+    A corrupt member must not kill the task OR lose the shard's tail:
+    on a zlib error we resync by scanning forward for the next gzip
+    magic (``\\x1f\\x8b\\x08``) and resume decompressing there, so one
+    damaged member in the middle of a crawl shard drops only itself —
+    the record splitter downstream resyncs on WARC/ boundaries the
+    same way."""
     out = io.BytesIO()
     pos = 0
     while pos < len(data):
@@ -41,7 +44,11 @@ def _gunzip_members(data: bytes) -> bytes:
         try:
             out.write(d.decompress(data[pos:]))
         except zlib.error:
-            break
+            nxt = data.find(b"\x1f\x8b\x08", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
         consumed = len(data[pos:]) - len(d.unused_data)
         if consumed <= 0:
             break

@@ -228,3 +228,16 @@ def test_trailing_text_and_entities_still_flush():
     """The truncated-tag drop must not eat legitimate buffered tails."""
     assert _texts("<body><p>x</p><div>tail text") == ["x", "tail text"]
     assert "".join(_texts("<body><p>ends with amp &")) == "ends with amp &"
+
+
+def test_literal_trailing_lt_survives_eof():
+    """A lone literal '<' (or '< 3'-style text) at EOF is genuine text,
+    not a tag fragment — only '<'+letter / '</' / '<!' / '<?' prefixes
+    are dropped by the truncation recovery."""
+    assert "".join(_texts("<body><p>score was 2 <")) == "score was 2 <"
+    assert "".join(_texts("<body><p>i <3 u")) == "i <3 u"
+    assert "".join(_texts("<body><p>a < 3")) == "a < 3"
+    # genuine tag/comment/decl fragments still dropped
+    assert _texts("<html><body><p>kept</p><div cla") == ["kept"]
+    assert _texts("<html><body><p>kept</p><!-- trunc") == ["kept"]
+    assert _texts("<html><body><p>kept</p></bo") == ["kept"]

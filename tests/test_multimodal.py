@@ -221,3 +221,19 @@ def test_wav_float32_and_24bit():
     # unsupported bit depth still raises
     with pytest.raises(NotImplementedError):
         M.decode_wav(_wav(3, 64, b"\x00" * 16))
+
+
+def test_wav_truncated_and_short_fmt_raise():
+    """Truncated data chunk / undersized fmt chunk fail loud (ValueError),
+    never silently decode a shorter clip (ADVICE r3)."""
+    import struct
+
+    f32 = np.array([0.5, -0.25, 1.0, -1.0], dtype="<f4")
+    good = _wav(3, 32, f32.tobytes())
+    with pytest.raises(ValueError):
+        M.decode_wav(good[:-5])  # data chunk body cut short
+    # fmt chunk shorter than the 16-byte PCM header
+    short_fmt = b"fmt " + struct.pack("<I", 8) + b"\x00" * 8
+    payload = b"RIFF" + struct.pack("<I", 4 + len(short_fmt)) + b"WAVE" + short_fmt
+    with pytest.raises(ValueError):
+        M.decode_wav(payload)

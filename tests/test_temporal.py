@@ -145,3 +145,60 @@ def test_asof_latest_wins(spark, frames):
     out = asof_join(l2, right, key="user_id", ts="ts").toPandas()
     # two prior purchases (t=3, t=4): the LATEST one wins
     assert out["value"].iloc[0] == 200.0 and out["ts_right"].iloc[0] == _t(4)
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Pin Spark's session_window merge rule at the exact-gap boundary.
+
+    Events exactly 30 minutes apart MERGE into one session (Spark treats
+    an event landing exactly at the previous window's end as inside it);
+    only a gap strictly greater than the timeout opens a new session.
+    The t5 oracle's gaps-and-islands SQL must use the same strict-'>'
+    condition, so the DuckDB twin is asserted on identical data here.
+    """
+    import duckdb
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, base),                                   # session A start
+        (2, 1, base + dt.timedelta(minutes=30)),        # exactly gap -> merges
+        (3, 1, base + dt.timedelta(minutes=60, seconds=1)),  # gap > 30m -> new
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("count").alias("n_events"),
+        )
+        .toPandas()
+        .sort_values("session_start")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2
+    assert got["n_events"].tolist() == [2, 1]
+    assert got["session_start"].iloc[0] == base
+
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows, columns=["event_id", "user_id", "ts"]))
+    oracle = con.execute(
+        """
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT min(ts) AS session_start, count(*) AS n_events
+        FROM s GROUP BY user_id, sid ORDER BY 1
+        """
+    ).fetchdf()
+    assert oracle["n_events"].tolist() == [2, 1]

@@ -118,3 +118,24 @@ def test_warc_malformed_records_fail_soft():
     rows = parse_warc_bytes(gz + b"\x1f\x8b\x08CORRUPT", path="x.warc.gz")
     assert [r["url"] for r in rows] == ["https://a"]
     assert _gunzip_members(b"\x1f\x8bnot-a-real-member") == b""
+
+
+def test_gunzip_resync_recovers_tail():
+    """A corrupt gzip member in the MIDDLE of a shard drops only itself:
+    _gunzip_members resyncs on the next gzip magic and the valid tail
+    still decodes (one bad member must not lose the rest of the shard)."""
+    from neuscraper_spark.sources.warc import _gunzip_members, build_warc_bytes, parse_warc_bytes
+
+    a = build_warc_bytes(
+        [("https://a", "2024-01-01T00:00:00Z", b"<html>a</html>")], compress=True
+    )
+    b = build_warc_bytes(
+        [("https://b", "2024-01-01T00:00:01Z", b"<html>b</html>")], compress=True
+    )
+    # corrupt member between two good ones (valid magic, garbage body)
+    shard = a + b"\x1f\x8b\x08CORRUPT-MEMBER" + b
+    rows = parse_warc_bytes(shard, path="x.warc.gz")
+    assert [r["url"] for r in rows] == ["https://a", "https://b"]
+    # and plain payload check: both members' bytes present
+    out = _gunzip_members(shard)
+    assert b"https://a" in out and b"https://b" in out
