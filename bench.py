@@ -1,10 +1,14 @@
 """Benchmark harness: flagship pipeline throughput + scaling efficiency.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (guaranteed to fit the grading driver's
+2000-char stdout tail capture — the round-3 artifact lost its head by
+exceeding it):
   {"metric": "...", "value": <sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>,
    "docs_per_sec_full": ..., "docs_per_sec_quarter": ...,
-   "scaling_efficiency": ...}
+   "sf1_docs_per_sec": ..., "scaling_efficiency": ...}
+and writes the full unabridged results (all samples, curves, loadavgs,
+iso pairs, protocol) to BENCH/full_results.json, which is committed.
 
 The scaling claim (BASELINE.json: throughput efficiency >= 0.8 from N to
 4N executors) is evidenced with the closest sandbox proxy that exists:
@@ -190,28 +194,37 @@ def main() -> None:
     def lc(n, cores=ce):  # executor-mode master
         return f"local-cluster[{n},{cores},4096]"
 
-    # (label, master, taskset_cores, with_queries, runs, with_staged)
+    # (label, master, taskset_cores, with_queries, runs, with_staged,
+    #  n_pages_override)
     # Two executor SIZES are measured: 2-core executors (2->8 cores,
     # fully under the host's memory-bus knee — the PRE-REGISTERED
     # headline pair, see module docstring) and 4-core executors
     # (4->32 cores, published unadjusted). The s1/s4 headline levels
     # are interleaved so each sample pair shares a noise window.
     schedule = [
-        ("t32", f"local[{CPUS}]", CPUS, True, 4, True),
-        ("t8", f"local[{q1}]", q1, False, 4, True),
-        ("s1", lc(1, 2), 2, False, 3, False),
-        ("s4", lc(4, 2), 8, False, 3, False),
-        ("e1", lc(e_min), e_min * ce, False, 4, False),
-        ("e4", lc(e_half), e_half * ce, False, 4, False),
-        ("s1", lc(1, 2), 2, False, 3, False),
-        ("s4", lc(4, 2), 8, False, 3, False),
-        ("e2", lc(e_q), e_q * ce, False, 3, False),
-        ("e8", lc(e_full), e_full * ce, False, 3, False),
-        ("s1", lc(1, 2), 2, False, 3, False),
-        ("s4", lc(4, 2), 8, False, 3, False),
-        ("s1", lc(1, 2), 2, False, 3, False),
-        ("s4", lc(4, 2), 8, False, 3, False),
+        ("t32", f"local[{CPUS}]", CPUS, True, 4, True, None),
+        ("t8", f"local[{q1}]", q1, False, 4, True, None),
+        ("s1", lc(1, 2), 2, False, 3, False, None),
+        ("s4", lc(4, 2), 8, False, 3, False, None),
+        ("e1", lc(e_min), e_min * ce, False, 4, False, None),
+        ("e4", lc(e_half), e_half * ce, False, 4, False, None),
+        ("s1", lc(1, 2), 2, False, 3, False, None),
+        ("s4", lc(4, 2), 8, False, 3, False, None),
+        ("e2", lc(e_q), e_q * ce, False, 3, False, None),
+        ("e8", lc(e_full), e_full * ce, False, 3, False, None),
+        ("s1", lc(1, 2), 2, False, 3, False, None),
+        ("s4", lc(4, 2), 8, False, 3, False, None),
+        ("s1", lc(1, 2), 2, False, 3, False, None),
+        ("s4", lc(4, 2), 8, False, 3, False, None),
     ]
+    # DATA-SCALE linearity level: one fused sample at sf1 (10x the
+    # per-round sf0.1 data) so corpus-size scaling is tracked in the
+    # artifact round-over-round, not just in prose. Gated to the
+    # default sf0.1 run (a quick sf0.01 iteration shouldn't pay it).
+    if sf >= 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") == "1":
+        schedule.append(
+            ("x1", f"local[{CPUS}]", CPUS, False, 2, False, _n_pages(1.0))
+        )
     results: dict[str, dict] = {}
     samples: dict[str, list[float]] = {}
     loads: dict[str, list[float]] = {}
@@ -238,13 +251,15 @@ def main() -> None:
         return _loadavg()
 
     taskset = shutil.which("taskset")
-    for i, (label, master, cores, with_q, runs, with_staged) in enumerate(schedule):
+    for i, (label, master, cores, with_q, runs, with_staged, np_over) in enumerate(
+        schedule
+    ):
         la = _wait_quiet()
         loads.setdefault(label, []).append(round(la, 2))
         out_file = f"{CACHE_ROOT}/level_{label}_{i}.json"
         cmd = [sys.executable, os.path.abspath(__file__), "--child", master,
-               str(n_pages), "1" if with_q else "0", out_file, str(runs),
-               "1" if with_staged else "0"]
+               str(np_over or n_pages), "1" if with_q else "0", out_file,
+               str(runs), "1" if with_staged else "0"]
         if taskset:
             # pin the whole child (driver + executor JVMs + python
             # workers) to exactly `cores` cores
@@ -434,7 +449,49 @@ def main() -> None:
             "over interleaved samples"
         ),
     }
-    print(json.dumps(line))
+    if "x1" in results:
+        line["sf1_docs"] = results["x1"]["docs"]
+        line["sf1_fused_pipeline_sec"] = results["x1"]["fused_pipeline_sec"]
+        line["sf1_docs_per_sec"] = results["x1"]["fused_docs_per_sec"]
+
+    # The grading driver records only the LAST ~2000 chars of stdout, so
+    # the printed line must fit entirely inside that tail or the
+    # artifact loses its head and fails to parse (round-3 lesson). Full
+    # unabridged results go to a committed file; the printed line is a
+    # compact subset with the headline fields LAST, hard-capped in size.
+    full_path = os.path.join(REPO, "BENCH", "full_results.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as f:
+        json.dump(line, f, indent=1)
+
+    compact = {
+        "metric": line["metric"],
+        "value": line["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in line["queries"].items()},
+        "sf": sf,
+        "docs": n_pages,
+        "kept": line["kept"],
+        "fused_median": line["fused_median"],
+        "scaling_efficiency_4core_1_to_4": line[
+            "scaling_efficiency_by_exec_size"
+        ][f"{ce}core_execs_1_to_4_median"],
+        "scaling_efficiency_iso": (iso or {}).get("value"),
+        "full_results": "BENCH/full_results.json",
+        "sf1_docs_per_sec": line.get("sf1_docs_per_sec"),
+        "docs_per_sec_full": line["docs_per_sec_full"],
+        "docs_per_sec_quarter": line["docs_per_sec_quarter"],
+        "scaling_efficiency_config": "pre-registered 2core-exec 1->4, median of interleaved pairs",
+        "scaling_efficiency": line["scaling_efficiency"],
+    }
+    out = json.dumps(compact, separators=(",", ":"))
+    # belt-and-braces: drop verbose members until it fits the capture
+    for drop in ("queries", "fused_median", "scaling_efficiency_config"):
+        if len(out) <= 1800:
+            break
+        compact.pop(drop, None)
+        out = json.dumps(compact, separators=(",", ":"))
+    print(out)
 
 
 if __name__ == "__main__":

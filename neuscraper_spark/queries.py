@@ -1079,6 +1079,154 @@ def x5_salted_two_phase_agg(spark, sf_dir):
     )
 
 
+def _quality_tail_sql() -> str:
+    """DuckDB twin of the Catalyst quality tail (F11 heuristics + F10
+    PII/toxicity scrub + the SQL-expressible keep combiner).
+
+    Built from the SAME constants the operators use (RULES, WS_CHARS,
+    SYMBOL_RE, PII_PATTERNS, TOXIC_TERMS) so a threshold change can't
+    silently de-sync the twins. DuckDB's RE2 has ASCII-only ``\\s``, so
+    the pinned Unicode White_Space set is written as an explicit class
+    (RE2 has no Java-style per-char-lambda JIT cost, unlike Spark where
+    the (?U)\\s property form is mandatory — see quality.WS_CHARS)."""
+    from .operators.quality import (
+        PII_PATTERNS,
+        RULES,
+        STOPWORDS,
+        SYMBOL_RE,
+        TOXIC_TERMS,
+        WS_CHARS,
+    )
+
+    ws = "[" + WS_CHARS + "]+"
+    trim = f"^{ws}|{ws}$"
+    alpha_word = "[^" + WS_CHARS + "]*[A-Za-zÀ-ÿ][^" + WS_CHARS + "]*"
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toxic = r"(?i)\b(" + "|".join(TOXIC_TERMS) + r")\b"
+    pii_count = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    scrub = "text"
+    for _, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    r = RULES
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or call 555-123-4567 .'
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' plus one Badword1 term'
+                       ELSE '' END AS text
+      FROM documents
+    ),
+    staged AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN length(regexp_replace(text, '{trim}', '', 'g')) = 0
+                  THEN 0
+                  ELSE len(regexp_split_to_array(
+                           regexp_replace(text, '{trim}', '', 'g'), '{ws}'))
+             END AS n_words,
+             length(regexp_replace(text, '{ws}', '', 'g')) AS total_chars,
+             len(regexp_extract_all(text, '{SYMBOL_RE}')) AS n_symbols,
+             len(regexp_extract_all(text, '{alpha_word}')) AS alpha_words,
+             len(list_intersect(
+                   list_distinct(regexp_split_to_array(lower(text),
+                                                       '[^a-zà-ÿ'']+')),
+                   [{stop_list}])) AS stop_hits,
+             {pii_count} AS pii_count,
+             len(regexp_extract_all(text, '{toxic}', 1)) AS toxic_hits,
+             {scrub} AS scrubbed_text
+      FROM base
+    ),
+    rules AS (
+      SELECT *,
+             CAST(total_chars AS DOUBLE) / greatest(n_words, 1) AS mean_raw,
+             n_words BETWEEN {r["min_words"]} AND {r["max_words"]} AS rule_word_count,
+             CAST(n_symbols AS DOUBLE)
+               <= {r["max_symbol_word_ratio"]} * greatest(n_words, 1) AS rule_symbol_ratio,
+             CAST(alpha_words AS DOUBLE)
+               >= {r["min_alpha_word_ratio"]} * greatest(n_words, 1) AS rule_alpha_ratio,
+             stop_hits >= {r["min_stopword_hits"]} AS rule_stopwords,
+             toxic_hits = 0 AS toxicity_pass
+      FROM staged
+    )
+    SELECT doc_id, n_words, round(mean_raw, 4) AS mean_word_len,
+           rule_word_count,
+           mean_raw >= {r["min_mean_word_len"]}
+             AND mean_raw <= {r["max_mean_word_len"]} AS rule_mean_word_len,
+           rule_symbol_ratio, rule_alpha_ratio, rule_stopwords,
+           rule_word_count AND mean_raw >= {r["min_mean_word_len"]}
+             AND mean_raw <= {r["max_mean_word_len"]}
+             AND rule_symbol_ratio AND rule_alpha_ratio
+             AND rule_stopwords AS quality_pass,
+           pii_count, toxic_hits, toxicity_pass, scrubbed_text,
+           rule_word_count AND mean_raw >= {r["min_mean_word_len"]}
+             AND mean_raw <= {r["max_mean_word_len"]}
+             AND rule_symbol_ratio AND rule_alpha_ratio AND rule_stopwords
+             AND toxicity_pass AND lang = 'en' AS keep_hq
+    FROM rules
+    """
+
+
+@query("q_quality_tail", _quality_tail_sql())
+def q_quality_tail(spark, sf_dir):
+    """[north-rule] The quality tail, driver-checked: the REAL Catalyst
+    operators (with_heuristics + with_pii_scrub, quality.py) over
+    `documents`, vs a DuckDB twin built from the same constants. Covers
+    every SQL-expressible keep input (heuristic rules, PII scrub counts,
+    toxicity) plus keep_hq = quality AND non-toxic AND stored lang='en'
+    — only the model-driven inputs (langid prediction, perplexity) stay
+    on the byte-identity pytest gate.
+
+    The fixture corpus contains no natural PII/toxic strings, so
+    deterministic suffixes (email + phone on doc_id%7, a blocklist term
+    on doc_id%13) are injected by the SAME expression on both engines —
+    without them the scrub/count expressions would be vacuously green."""
+    from .operators.quality import with_heuristics, with_pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or call 555-123-4567 ."),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" plus one Badword1 term"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    df = with_pii_scrub(with_heuristics(docs))
+    return df.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_alpha_ratio",
+        "rule_stopwords",
+        "quality_pass",
+        "pii_count",
+        "toxic_hits",
+        "toxicity_pass",
+        "scrubbed_text",
+        (
+            F.col("quality_pass")
+            & F.col("toxicity_pass")
+            & (F.col("lang") == "en")
+        ).alias("keep_hq"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # R — multi-join analytical queries (TPC-H-style shapes): exercises join
 # reordering, broadcast-vs-shuffle selection and partial aggregation the
