@@ -317,6 +317,96 @@ def _delta_roots(index_root: str) -> list[str]:
     ]
 
 
+def _finish_compaction(index_root: str) -> bool:
+    """Roll FORWARD an interrupted ``compact_ivf_index`` swap.
+
+    The compaction marker (``_compacting.json``) is written only after
+    the merged table is fully written and manifested in the sibling
+    ``cells.compacting`` dir, so whenever the marker exists the merged
+    bytes are complete and finishing the swap is always safe — the
+    classic write-ahead commit-marker protocol (what an Iceberg catalog
+    does with its metadata pointer swap). Called by every stored-index
+    entry point; returns True if recovery work was done. Crash states
+    and their resolution:
+
+      marker + cells.compacting + cells (old) : swap not started — do it
+      marker + cells.compacting, no cells     : crashed mid-swap — finish
+      marker only, deltas/old still present   : crashed pre-cleanup —
+                                                remove them (the merged
+                                                table already contains
+                                                the delta rows; leaving
+                                                deltas would DOUBLE-COUNT
+                                                every appended vector)
+    """
+    import os
+    import shutil
+
+    marker = os.path.join(index_root, "_compacting.json")
+    if not os.path.exists(marker):
+        return False
+    cells = os.path.join(index_root, "cells")
+    old = os.path.join(index_root, "cells.old")
+    tmp = os.path.join(index_root, "cells.compacting")
+    if os.path.isdir(tmp):
+        if os.path.isdir(cells) and not os.path.isdir(old):
+            os.rename(cells, old)
+        if not os.path.isdir(cells):
+            os.rename(tmp, cells)
+    shutil.rmtree(os.path.join(index_root, "deltas"), ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    os.unlink(marker)
+    return True
+
+
+def compact_ivf_index(spark, index_root: str) -> dict:
+    """Merge all delta generations into the base cell table.
+
+    N committed deltas turn every probe into an (N+1)-way union scan;
+    compaction restores the single-table probe plan (Iceberg's rewrite
+    + expire maintenance cycle). Protocol, in commit-marker order:
+
+      1. write base ∪ deltas to ``cells.compacting`` (TableWriter
+         overwrite — fully manifested before anything is touched)
+      2. write ``_compacting.json`` (the commit point: from here the
+         swap ALWAYS rolls forward, see _finish_compaction)
+      3. rename cells → cells.old, cells.compacting → cells
+      4. remove deltas/ and cells.old/, delete the marker
+
+    The upstream read is lazy but writes to a SIBLING directory, so the
+    plan never reads files the swap is deleting. No-op (returns the
+    current snapshot info) when there are no deltas."""
+    import json as _json
+    import os
+    import shutil
+
+    from ..sources.writer import TableWriter
+
+    _finish_compaction(index_root)
+    droots = _delta_roots(index_root)
+    base = TableWriter(root=f"{index_root}/cells", partition_col="cell")
+    if not droots:
+        snaps = base.snapshots()
+        return snaps[-1] if snaps else {}
+    merged = base.read(spark)
+    for droot in droots:
+        merged = merged.unionByName(
+            TableWriter(root=droot, partition_col="cell").read(spark)
+        )
+    tmp_root = f"{index_root}/cells.compacting"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    snap = TableWriter(root=tmp_root, partition_col="cell").write(
+        merged, mode="overwrite"
+    )
+    marker = os.path.join(index_root, "_compacting.json")
+    with open(marker + ".tmp", "w") as f:
+        _json.dump({"merged_deltas": [os.path.basename(d) for d in droots]}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(marker + ".tmp", marker)
+    _finish_compaction(index_root)
+    return snap
+
+
 def append_ivf_index(spark, new_emb: DataFrame, index_root: str,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> dict:
     """Grow a stored IVF index WITHOUT retraining: assign the new
@@ -336,6 +426,7 @@ def append_ivf_index(spark, new_emb: DataFrame, index_root: str,
 
     from ..sources.writer import TableWriter
 
+    _finish_compaction(index_root)  # roll forward an interrupted compaction
     cents = load_ivf_centroids(spark, index_root)
     assigned = ivf_assign(new_emb, cents, nprobe=1, vec_col=vec_col, id_col=id_col)
     gen = len(_delta_roots(index_root))
@@ -360,6 +451,7 @@ def ann_ivf_topk_indexed(
     parquet-directory level."""
     from ..sources.writer import TableWriter
 
+    _finish_compaction(index_root)  # roll forward an interrupted compaction
     cents = load_ivf_centroids(spark, index_root)
     qrows = queries.select("qid", "qvec").collect()
     qids = [r["qid"] for r in qrows]

@@ -982,6 +982,38 @@ def s3_ann_ivf_topk(spark, sf_dir):
                         n_centroids=16, nprobe=16)
 
 
+@query("s4_ann_ivf_indexed", _EXACT_TOPK_SQL)
+def s4_ann_ivf_indexed(spark, sf_dir):
+    # The STORED-index chain a production user actually runs, driver-
+    # checked end-to-end: build_ivf_index persists centroids + the
+    # cell-partitioned corpus (half of it), append_ivf_index grows it
+    # with the other half as an immutable delta generation, and
+    # ann_ivf_topk_indexed probes base ∪ delta with hive-partition
+    # pruning. At nprobe == n_centroids every cell is probed, so the
+    # result must equal the exact SQL top-k bit-for-bit — proving no
+    # vectors were lost or duplicated across build/append/prune/probe.
+    import os
+    import shutil
+
+    from .operators.similarity import (
+        ann_ivf_topk_indexed,
+        append_ivf_index,
+        build_ivf_index,
+        queries_from_ids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = f"/tmp/neuscraper_s4_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)  # stale deltas would duplicate
+    build_ivf_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), root, n_centroids=16
+    )
+    append_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 1), root)
+    return ann_ivf_topk_indexed(
+        spark, root, queries_from_ids(emb, range(5)), k=10, nprobe=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # X — text analysis
 # ---------------------------------------------------------------------------

@@ -142,3 +142,91 @@ def test_ivf_index_append_generation(spark, tmp_path):
         best = min(rows, key=lambda r: r["rank"])
         assert best["nid"] == qid - max_id - 1
         assert best["cosine"] == 1.0
+
+
+def test_ivf_compaction_e2e_and_crash_recovery(spark, tmp_path):
+    """build -> append -> compact: probe results unchanged, the probe
+    plan scans ONE table (no deltas left), and an interrupted swap rolls
+    forward without double-counting appended vectors."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from neuscraper_spark.operators.similarity import (
+        _delta_roots,
+        append_ivf_index,
+        brute_force_topk,
+        build_ivf_index,
+        ann_ivf_topk_indexed,
+        compact_ivf_index,
+        queries_from_ids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "ivf_index")
+    build_ivf_index(spark, emb, root, n_centroids=8)
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    new = emb.limit(4).select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"), "embedding", "label"
+    )
+    append_ivf_index(spark, new, root)
+    append_ivf_index(
+        spark,
+        new.select((F.col("vec_id") + 100).alias("vec_id"), "embedding", "label"),
+        root,
+    )
+    assert len(_delta_roots(root)) == 2
+    grown = emb.count() + 8
+
+    q = queries_from_ids(emb, range(3))
+    before = sorted(map(tuple, ann_ivf_topk_indexed(spark, root, q, k=5, nprobe=8).collect()))
+
+    # keep a copy of the deltas to reconstruct the crash window later
+    deltas_copy = str(tmp_path / "deltas_copy")
+    shutil.copytree(os.path.join(root, "deltas"), deltas_copy)
+
+    snap = compact_ivf_index(spark, root)
+    assert snap["rows_written"] == grown
+    # single-table probe plan: no deltas, no leftover swap dirs
+    assert _delta_roots(root) == []
+    assert not os.path.isdir(os.path.join(root, "cells.compacting"))
+    assert not os.path.isdir(os.path.join(root, "cells.old"))
+    assert not os.path.exists(os.path.join(root, "_compacting.json"))
+    after = sorted(map(tuple, ann_ivf_topk_indexed(spark, root, q, k=5, nprobe=8).collect()))
+    assert after == before
+    # compacting again is a no-op
+    compact_ivf_index(spark, root)
+
+    # ---- crash window: marker written, cells already swapped to the
+    # compacted table, but deltas/ not yet removed. A naive probe would
+    # count every appended vector TWICE; _finish_compaction must remove
+    # the stale deltas before the scan.
+    shutil.copytree(deltas_copy, os.path.join(root, "deltas"))
+    with open(os.path.join(root, "_compacting.json"), "w") as f:
+        json.dump({"merged_deltas": ["g0", "g1"]}, f)
+    recovered = sorted(map(tuple, ann_ivf_topk_indexed(spark, root, q, k=5, nprobe=8).collect()))
+    assert recovered == before
+    assert _delta_roots(root) == []
+    assert not os.path.exists(os.path.join(root, "_compacting.json"))
+
+    # and exhaustive probe of the compacted index == brute force over
+    # the grown corpus (nothing lost, nothing duplicated)
+    bf = sorted(
+        map(
+            tuple,
+            brute_force_topk(
+                emb.unionByName(new).unionByName(
+                    new.select(
+                        (F.col("vec_id") + 100).alias("vec_id"),
+                        "embedding",
+                        "label",
+                    )
+                ),
+                q,
+                k=5,
+            ).collect(),
+        )
+    )
+    assert recovered == bf
