@@ -3,16 +3,20 @@
 Images/audio/video are `binary` columns with a metadata struct; decode
 and feature-extraction run as Arrow-batched stages over mapInPandas.
 
-Two REAL decoders are implemented from scratch against the public
-container specs with stdlib ``struct`` only (no codec libraries ship in
-this container):
+Three REAL decoders are implemented from scratch against the public
+container specs with stdlib ``struct``/``zlib`` only (no codec
+libraries ship in this container):
 
 - **BMP** (Windows BITMAPINFOHEADER, uncompressed 24-bit BGR and 8-bit
   paletted): magic/offset walk, bottom-up row order, 4-byte row padding.
-- **WAV** (RIFF/WAVE, PCM 8/16-bit): chunk walk (skips LIST/fact/...,
-  honours odd-size padding), fmt parse, interleaved channel de-mux.
+- **PNG** (W3C PNG / RFC 2083, non-interlaced 8-bit gray/RGB/
+  gray-alpha/RGBA): CRC-validated chunk walk, IDAT inflate, the five
+  row filters (None/Sub/Up/Average/Paeth) reversed row-sequentially.
+- **WAV** (RIFF/WAVE, PCM 8/16/24-bit + IEEE float32): chunk walk
+  (skips LIST/fact/..., honours odd-size padding), fmt parse,
+  EXTENSIBLE GUID resolution, interleaved channel de-mux.
 
-Compressed codecs (JPEG/PNG/MP3/MP4) remain honest
+Codecs needing real DSP libraries (JPEG/MP3/MP4) remain honest
 ``NotImplementedError`` stubs — the ``FAKE`` self-describing container
 keeps schema/partitioning/batch-shape plumbing testable for those, and
 swapping in PIL/ffmpeg is a one-function change behind ``DECODERS``.
@@ -21,6 +25,7 @@ swapping in PIL/ffmpeg is a one-function change behind ``DECODERS``.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -157,6 +162,163 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + dib + pal + raw
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (public spec, W3C PNG / RFC 2083 §4.1.1)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG -> pixel array, from scratch on stdlib
+    ``zlib`` + ``struct`` (public spec: W3C PNG / RFC 2083).
+
+    Supported: color types 0 (gray -> [h,w]), 2 (RGB -> [h,w,3]),
+    4 (gray+alpha -> [h,w,2]), 6 (RGBA -> [h,w,4]), bit depth 8,
+    interlace 0. Chunk walk validates lengths and CRCs (fail loud on
+    corruption, like the WAV/protobuf parsers); all IDAT chunks are
+    concatenated, inflated, and the five row filters (None/Sub/Up/
+    Average/Paeth) are reversed row-sequentially. Palette (type 3),
+    16-bit, and Adam7 raise NotImplementedError — honest gaps, not
+    silent misdecodes."""
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, seen_iend = 8, None, b"", False
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError(
+                f"truncated PNG chunk {ctype!r}: need {length} bytes, "
+                f"have {len(payload) - pos - 12}"
+            )
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not seen_iend:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG compression/filter method ({comp}/{filt})")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/gray-alpha/RGBA PNG supported "
+            f"(depth={depth}, color_type={color})"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data length mismatch: {len(raw)} != {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth depend on the pixel `ch` bytes to the
+            # left — sequential in x by definition
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0  # left
+                b = prev[x]  # up
+                if ftype == 1:
+                    cur[x] = (row[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth predictor (spec §6.6)
+                    c = prev[x - ch] if x >= ch else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    cur[x] = (row[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    if ch == 1:
+        return out
+    return out.reshape(h, w, ch)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Pixel array -> 8-bit non-interlaced PNG bytes ([h,w] gray,
+    [h,w,2] gray+alpha, [h,w,3] RGB, [h,w,4] RGBA). Round-trip twin of
+    decode_png; ``filter_type`` applies one filter (0-4) to every row so
+    tests can exercise each unfilter path against a known image."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    h, w = pixels.shape[:2]
+    ch = 1 if pixels.ndim == 2 else pixels.shape[2]
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = pixels.reshape(h, w * ch).astype(np.int32)
+    stride = w * ch
+    rows = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        rows.append(filter_type)
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 2:
+            enc = (cur - prev) & 0xFF
+        elif filter_type in (1, 3, 4):
+            enc = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if filter_type == 1:
+                    enc[x] = (cur[x] - a) & 0xFF
+                elif filter_type == 3:
+                    enc[x] = (cur[x] - ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (cur[x] - pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {filter_type}")
+        rows += enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM -> (samples, sample_rate); samples are int16 for
     integer PCM ([n] mono or [n, channels]; 8/24-bit widened/narrowed
@@ -231,10 +393,13 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Image dispatch: real BMP decode, FAKE container for stubbed
-    codecs, NotImplementedError otherwise (JPEG/PNG need real libs)."""
+    """Image dispatch: real BMP and PNG decodes, FAKE container for
+    stubbed codecs, NotImplementedError otherwise (JPEG needs a real
+    DCT codec library)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     return _decode_image_stub(payload)
 
 
@@ -259,6 +424,23 @@ def _fake_bmp(media_id: int) -> bytes:
     return encode_bmp(rgb)  # 24bpp
 
 
+def _fake_png(media_id: int) -> bytes:
+    """Deterministic real PNG payload (gradient, id-keyed; alternates
+    gray / RGB / RGBA and cycles the row filter so every unfilter path
+    runs in the distributed decode stage)."""
+    w, h = 24 + (media_id % 3) * 8, 16 + (media_id % 2) * 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = ((xx * 5 + yy * 11 + media_id * 17) % 256).astype(np.uint8)
+    mode = media_id % 3
+    if mode == 1:
+        px = np.stack([px, (px * 2) % 256, (px * 3) % 256], axis=-1).astype(np.uint8)
+    elif mode == 2:
+        px = np.stack(
+            [px, (px * 2) % 256, (px * 3) % 256, (px * 5) % 256], axis=-1
+        ).astype(np.uint8)
+    return encode_png(px, filter_type=media_id % 5)
+
+
 def _fake_wav(media_id: int, sr: int = 16000) -> bytes:
     """Deterministic real PCM16 WAV payload (sine burst, id-keyed)."""
     t = np.arange(sr // 10, dtype=np.float64)
@@ -269,9 +451,9 @@ def _fake_wav(media_id: int, sr: int = 16000) -> bytes:
 
 def media_table(spark, n: int = 200, partitions: int = 8) -> DataFrame:
     """Synthetic media table (deterministic), kind alternating; half the
-    image/audio rows carry REAL containers (BMP / PCM16 WAV) exercising
-    the from-scratch decoders, the other half the FAKE container that
-    stands in for compressed codecs."""
+    image/audio rows carry REAL containers (BMP or PNG / PCM16 WAV)
+    exercising the from-scratch decoders, the other half the FAKE
+    container that stands in for the remaining compressed codecs."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -282,8 +464,10 @@ def media_table(spark, n: int = 200, partitions: int = 8) -> DataFrame:
                 kind = kinds[i % 3]
                 real = (i // 3) % 2 == 0
                 if kind == "image" and real:
-                    payload = _fake_bmp(i)
-                    px = decode_bmp(payload)
+                    # alternate BMP / PNG so both real decoders run in
+                    # the distributed path, not just unit tests
+                    payload = _fake_bmp(i) if (i // 6) % 2 == 0 else _fake_png(i)
+                    px = _decode_image(payload)
                     h, w = px.shape[:2]
                     frames, sr = 1, 0
                 elif kind == "audio" and real:
@@ -362,11 +546,12 @@ def resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage over decodable images: BMP rows are decoded
-    (decode_bmp), nearest-neighbor resampled in numpy, re-encoded as BMP
-    with updated meta. Rows of other kinds pass through untouched;
-    compressed image codecs raise NotImplementedError (honest stub — no
-    imaging library in this container)."""
+    """Resize stage over decodable images: BMP/PNG rows are decoded,
+    nearest-neighbor resampled in numpy, re-encoded in their ORIGINAL
+    container format with updated meta. Rows of other kinds pass through
+    untouched; codecs without a real decoder here raise
+    NotImplementedError (honest stub — no imaging library in this
+    container)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -376,13 +561,17 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             ):
                 payload = bytes(payload)
                 if kind == "image":
-                    if payload[:2] != b"BM":
+                    if payload[:2] == b"BM":
+                        px = resize_nearest(decode_bmp(payload), width, height)
+                        payload = encode_bmp(px)
+                    elif payload[:8] == _PNG_SIG:
+                        px = resize_nearest(decode_png(payload), width, height)
+                        payload = encode_png(px)
+                    else:
                         raise NotImplementedError(
                             "resize of compressed image codecs requires a real "
                             "imaging library (PIL/opencv), not in this container"
                         )
-                    px = resize_nearest(decode_bmp(payload), width, height)
-                    payload = encode_bmp(px)
                     meta = dict(meta)
                     meta["width"], meta["height"] = width, height
                 rows.append(

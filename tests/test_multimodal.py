@@ -137,14 +137,19 @@ def test_resize_nearest_identity_and_downscale():
 
 
 def test_resize_images_spark(spark, media):
-    bmp_rows = media.filter("kind = 'image'")
-    out = M.resize_images(bmp_rows.filter(
-        "media_id % 2 = 0"), 16, 12).toPandas()  # BMP rows only (even ids)
+    real_rows = media.filter(
+        "kind = 'image' AND media_id % 2 = 0"
+    )  # real-container rows (BMP or PNG, even ids)
+    out = M.resize_images(real_rows, 16, 12).toPandas()
     assert len(out) > 0
+    seen = set()
     for _, r in out.iterrows():
         assert r["meta"]["width"] == 16 and r["meta"]["height"] == 12
-        px = M.decode_bmp(bytes(r["payload"]))
+        payload = bytes(r["payload"])
+        seen.add(payload[:2])
+        px = M._decode_image(payload)  # resize preserves the container
         assert px.shape[:2] == (12, 16)
+    assert b"BM" in seen and b"\x89P" in seen  # both codecs exercised
 
 
 def test_resize_compressed_raises(spark, media):
@@ -161,6 +166,10 @@ def test_media_table_real_rows_decode(spark, media):
         payload = bytes(r["payload"])
         if r["kind"] == "image" and payload[:2] == b"BM":
             px = M.decode_bmp(payload)
+            assert px.shape[0] == r["meta"]["height"]
+            assert px.shape[1] == r["meta"]["width"]
+        if r["kind"] == "image" and payload[:8] == M._PNG_SIG:
+            px = M.decode_png(payload)
             assert px.shape[0] == r["meta"]["height"]
             assert px.shape[1] == r["meta"]["width"]
         if r["kind"] == "audio" and payload[:4] == b"RIFF":
@@ -237,3 +246,83 @@ def test_wav_truncated_and_short_fmt_raise():
     payload = b"RIFF" + struct.pack("<I", 4 + len(short_fmt)) + b"WAVE" + short_fmt
     with pytest.raises(ValueError):
         M.decode_wav(payload)
+
+
+def test_png_roundtrip_all_filters_and_modes():
+    """encode_png/decode_png round-trip every color mode x every row
+    filter (each filter exercises its own unfilter path)."""
+    rng = np.random.default_rng(3)
+    shapes = [(13, 17), (9, 11, 3), (7, 5, 4), (6, 8, 2)]
+    for shape in shapes:
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            out = M.decode_png(M.encode_png(arr, filter_type=ft))
+            assert out.shape == arr.shape
+            assert np.array_equal(out, arr), (shape, ft)
+
+
+def test_png_hand_built_spec_vector():
+    """Decode a HAND-FILTERED stream (one row per filter type, values
+    reconstructed on paper from the spec's recurrences) — verifies the
+    decoder against the public spec itself, independent of encode_png."""
+    import struct
+    import zlib
+
+    raw = (
+        b"\x01\x0a\x05\x05"   # Sub:     [10, 15, 20]
+        b"\x02\x01\x02\x03"   # Up:      [11, 17, 23]
+        b"\x03\x04\x06\x08"   # Average: [9, 19, 29]
+        b"\x04\x02\x03\x04"   # Paeth:   [11, 22, 33]
+    )
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    want = np.array(
+        [[10, 15, 20], [11, 17, 23], [9, 19, 29], [11, 22, 33]], dtype=np.uint8
+    )
+    assert np.array_equal(M.decode_png(payload), want)
+
+
+def test_png_corruption_and_unsupported_raise():
+    rng = np.random.default_rng(5)
+    p = M.encode_png(rng.integers(0, 256, (6, 6, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        M.decode_png(p[:-6])  # truncated: IEND lost
+    bad = bytearray(p)
+    bad[40] ^= 0xFF  # flip an IDAT byte -> CRC mismatch
+    with pytest.raises(ValueError):
+        M.decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        M.decode_png(b"\x89PNG\r\n\x1a\nnot-chunks")
+    # palette type 3 is an honest NotImplementedError, not a misdecode
+    import struct
+    import zlib as z
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", z.crc32(ctype + body) & 0xFFFFFFFF))
+
+    pal = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"IDAT", z.compress(b"\x00\x00\x00\x00\x00\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        M.decode_png(pal)
+
+
+def test_image_dispatch_png():
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (8, 9), dtype=np.uint8)
+    assert np.array_equal(M._decode_image(M.encode_png(arr)), arr)
+    assert np.array_equal(M._fake_png(4), M._fake_png(4))  # deterministic
+    for i in range(6):
+        px = M.decode_png(M._fake_png(i))
+        assert px.shape[0] >= 16 and px.shape[1] >= 24
