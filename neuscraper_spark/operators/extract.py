@@ -283,7 +283,7 @@ def extract_fused(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w = shm_cache_weights(bc.value, tag=C.WEIGHTS_TAG)
         if with_langid_ppl:
-            from .quality import langid_scores_batch, ppl_py
+            from .quality import langid_scores_batch, ppl_batch
 
             tables = bc_ppl.value
         for pdf in batches:
@@ -336,7 +336,7 @@ def extract_fused(
                 langs, confs = langid_scores_batch(texts)
                 out["lang_pred"] = langs
                 out["lang_conf"] = confs
-                out["ppl"] = [ppl_py(t, tables) for t in texts]
+                out["ppl"] = ppl_batch(texts, tables)
             yield out
 
     schema = EXTRACTED_DDL

@@ -181,25 +181,101 @@ def _ppl_tables():
     return _PPL_TABLES
 
 
+class _PplVec:
+    """Integer-indexed view of the bigram tables for vectorized scoring:
+    vocab word -> id, unigram counts as an array, bigram counts keyed by
+    ``prev_id * |V| + cur_id``. Built once per distinct table object."""
+
+    __slots__ = ("vocab", "ucnt", "bi", "total", "floor", "n_vocab")
+
+    def __init__(self, tables):
+        uni, bi, total = tables
+        self.vocab = {w: i for i, w in enumerate(uni)}
+        self.ucnt = np.array(list(uni.values()), dtype=np.float64)
+        self.total = total
+        self.floor = 1.0 / (total + len(uni) + 1)
+        self.n_vocab = len(uni)
+        self.bi = {
+            self.vocab[a] * self.n_vocab + self.vocab[b]: c
+            for (a, b), c in bi.items()
+        }
+
+
+_PPL_VEC_CACHE: dict[int, tuple] = {}
+
+
+def _ppl_vec(tables) -> _PplVec:
+    hit = _PPL_VEC_CACHE.get(id(tables))
+    if hit is not None and hit[0] is tables:
+        return hit[1]
+    vec = _PplVec(tables)
+    _PPL_VEC_CACHE.clear()  # one LM at a time per worker; no unbounded growth
+    _PPL_VEC_CACHE[id(tables)] = (tables, vec)
+    return vec
+
+
+def ppl_batch(texts, tables=None) -> list[float]:
+    """Batched perplexity: the whole batch's tokens are id-mapped via
+    ONE np.unique (each distinct token's dict lookup happens once),
+    bigram hits resolved by one unique-code table lookup, probabilities
+    and logs computed as arrays — no per-document python loop, matching
+    ``langid_scores_batch``'s shape. This is the only implementation —
+    the per-row twin wraps it — so the Spark path and the
+    single-process oracle share the exact float path.
+
+    Per-token probability (stupid backoff, Brants et al. 2007):
+    bigram count/unigram-prev if the pair was seen, else
+    BACKOFF * unigram/total if the token was seen, else BACKOFF * floor.
+    """
+    tables = tables if tables is not None else _ppl_tables()
+    vec = _ppl_vec(tables)
+    tok_lists = [_WORD_RE.findall((t or "").lower()) for t in texts]
+    lens = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+    out = np.full(len(texts), float(10**9))
+    flat = [t for tl in tok_lists for t in tl]
+    if flat:
+        uniq, inv = np.unique(np.array(flat), return_inverse=True)
+        uid = np.fromiter(
+            (vec.vocab.get(u, -1) for u in uniq.tolist()),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        ids = uid[inv]
+        known = ids >= 0
+        p = np.where(
+            known,
+            PPL_BACKOFF * vec.ucnt[np.where(known, ids, 0)] / vec.total,
+            PPL_BACKOFF * vec.floor,
+        )
+        if len(ids) > 1:
+            seg = np.repeat(np.arange(len(texts)), lens)
+            # pair targets: not the first token of a text, both ids known
+            pair = (seg[1:] == seg[:-1]) & known[1:] & known[:-1]
+            idx = np.nonzero(pair)[0] + 1
+            if idx.size:
+                prev, cur = ids[idx - 1], ids[idx]
+                codes = prev * vec.n_vocab + cur
+                ucodes, cinv = np.unique(codes, return_inverse=True)
+                cnt = np.fromiter(
+                    (vec.bi.get(int(c), 0) for c in ucodes),
+                    dtype=np.float64,
+                    count=len(ucodes),
+                )
+                bcnt = cnt[cinv]
+                has = bcnt > 0
+                p[idx[has]] = bcnt[has] / vec.ucnt[prev[has]]
+        logp = np.log(p)
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        for i in range(len(texts)):
+            if lens[i]:
+                out[i] = math.exp(
+                    -logp[starts[i] : starts[i + 1]].sum() / lens[i]
+                )
+    return [round(float(v), 4) for v in out]
+
+
 def ppl_py(text: str, tables=None) -> float:
-    uni, bi, total = tables if tables is not None else _ppl_tables()
-    toks = _WORD_RE.findall((text or "").lower())
-    if not toks:
-        return float(10**9)
-    vocab = len(uni) + 1
-    floor = 1.0 / (total + vocab)
-    logp = 0.0
-    prev = None
-    for t in toks:
-        if prev is not None and (prev, t) in bi:
-            p = bi[(prev, t)] / uni[prev]
-        elif t in uni:
-            p = PPL_BACKOFF * uni[t] / total
-        else:
-            p = PPL_BACKOFF * floor
-        logp += math.log(p)
-        prev = t
-    return round(float(math.exp(-logp / len(toks))), 4)
+    return ppl_batch([text], tables)[0]
 
 
 def with_perplexity(spark, df: DataFrame, text_col: str = "text", tables=None) -> DataFrame:
@@ -213,7 +289,7 @@ def with_perplexity(spark, df: DataFrame, text_col: str = "text", tables=None) -
     @F.pandas_udf("double")
     def _ppl(texts: pd.Series) -> pd.Series:
         tables = bc.value
-        return texts.map(lambda t: ppl_py(t, tables))
+        return pd.Series(ppl_batch(texts.tolist(), tables), index=texts.index)
 
     return df.withColumn("ppl", _ppl(F.col(text_col)))
 
@@ -507,7 +583,7 @@ def with_langid_ppl(spark, df: DataFrame, text_col: str = "text", ppl_tables=Non
         for pdf in batches:
             texts = pdf[text_col].tolist()
             langs, confs = langid_scores_batch(texts)
-            ppls = [ppl_py(t, tables) for t in texts]
+            ppls = ppl_batch(texts, tables)
             out = pdf[cols].copy()
             out["lang_pred"] = langs
             out["lang_conf"] = confs

@@ -175,3 +175,47 @@ def test_keep_combiner(spark, df):
     assert not keep["u1"]  # german
     assert not keep["u4"]  # too short
     assert not keep["u9"]  # toxic
+
+
+def test_ppl_batch_matches_sequential_reference():
+    """The vectorized ppl_batch must reproduce the original per-token
+    stupid-backoff recurrence (kept here as the reference), and be
+    batch-composition invariant (a text scores the same alone as inside
+    any batch — Arrow batch boundaries move with partitioning)."""
+    import math
+
+    uni, bi, total = Q.build_ppl_tables()
+
+    def ref(text):  # the pre-vectorization implementation, verbatim
+        toks = Q._WORD_RE.findall((text or "").lower())
+        if not toks:
+            return float(10**9)
+        vocab = len(uni) + 1
+        floor = 1.0 / (total + vocab)
+        logp = 0.0
+        prev = None
+        for t in toks:
+            if prev is not None and (prev, t) in bi:
+                p = bi[(prev, t)] / uni[prev]
+            elif t in uni:
+                p = Q.PPL_BACKOFF * uni[t] / total
+            else:
+                p = Q.PPL_BACKOFF * floor
+            logp += math.log(p)
+            prev = t
+        return round(float(math.exp(-logp / len(toks))), 4)
+
+    from neuscraper_spark.corpus import gen_pages
+
+    texts = [p["text"] for p in gen_pages(99, 40)]
+    texts += ["", "zzz qqq xxy unseen words only", "the the the", None,
+              "the fast key order and value with that"]
+    got = Q.ppl_batch(texts)
+    for t, g in zip(texts, got):
+        r = ref(t)
+        assert abs(g - r) <= max(1e-6 * r, 1e-6), (t, g, r)
+    # batch-composition invariance: exact equality required
+    for i in (0, 3, 7, len(texts) - 1):
+        assert Q.ppl_batch([texts[i]])[0] == got[i]
+    singles = [Q.ppl_batch([t])[0] for t in texts]
+    assert singles == got
