@@ -824,6 +824,19 @@ def d6_neardup_components(spark, sf_dir):
     return connected_components(pairs)
 
 
+@query("d7_components_doubling", _ORACLES["d6_neardup_components"])
+def d7_components_doubling(spark, sf_dir):
+    # D6's pointer-doubling variant (O(log diameter) rounds for
+    # pathological deep clusters) against the SAME recursive-CTE oracle:
+    # both label algorithms must produce identical components.
+    from .operators.dedup import connected_components_doubling, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, df_cap=100
+    ).select("id_a", "id_b")
+    return connected_components_doubling(pairs)
+
+
 _SHINGLE_JACCARD_SQL = """
     WITH sh AS (
       SELECT DISTINCT doc_id, substr(lower(text), i, 9) AS s

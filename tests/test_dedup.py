@@ -158,3 +158,61 @@ def test_embedding_neardup(spark):
     # the LSH scale path finds the same pair set at this threshold
     lsh = D.embedding_neardup_lsh(emb, threshold=0.95).toPandas()
     assert {tuple(r) for r in lsh[["id_a", "id_b"]].values.tolist()} == {(0, 1)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A cluster deeper than max_iter must FAIL LOUD (partial labels are
+    wrong labels): a 40-node chain has diameter 39, so plain min-label
+    propagation cannot converge in 12 rounds."""
+    chain = [(i, i + 1) for i in range(39)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=12)
+
+
+def test_connected_components_doubling_deep_graphs(spark):
+    """Pointer doubling converges in O(log diameter): the same 40-node
+    chain (diameter 39) and a 32-node cycle both resolve within 8
+    rounds — far below their diameters — with correct min labels."""
+    chain = [(i, i + 1) for i in range(39)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    cc = D.connected_components_doubling(pairs, max_iter=8).toPandas()
+    assert set(cc["component"]) == {0} and len(cc) == 40
+
+    cyc = [(i, (i + 1) % 32) for i in range(32)]
+    pairs = spark.createDataFrame(cyc, "id_a long, id_b long")
+    cc = D.connected_components_doubling(pairs, max_iter=8).toPandas()
+    assert set(cc["component"]) == {0} and len(cc) == 32
+
+
+def test_connected_components_doubling_matches_plain(spark):
+    """On a random multi-component graph the doubling variant's labels
+    equal plain propagation's AND a union-find reference."""
+    import random
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    plain = D.connected_components(pairs).toPandas()
+    doubled = D.connected_components_doubling(pairs).toPandas()
+    p = plain.set_index("id")["component"].to_dict()
+    d = doubled.set_index("id")["component"].to_dict()
+    assert p == d
+
+    # union-find reference with min-id representatives
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    want = {x: find(x) for x in parent}
+    assert d == want
