@@ -8,11 +8,23 @@ exactly once, the streaming twin of ``operators.dedup.exact_dedup``
 (same key: ``md5(text)``; same within-increment winner: min doc_id).
 
 Semantics (documented, tested):
-- The FIRST micro-batch in which a hash appears emits
-  ``(content_hash, keep_id, n_dups)`` with keep_id = min(doc_id) within
-  that micro-batch; later arrivals of the same hash emit nothing.
-  When the whole input arrives before the first trigger, the kept set
-  is byte-identical to the batch ``exact_dedup`` result.
+- Default (``emit_updates=False``, append mode): the FIRST micro-batch
+  in which a hash appears emits ``(content_hash, keep_id, n_dups)``
+  with keep_id = min(doc_id) within that micro-batch; later arrivals
+  of the same hash emit nothing. When the whole input arrives before
+  the first trigger, the kept set is byte-identical to the batch
+  ``exact_dedup`` result. DIVERGENCE from batch (pinned by test): if a
+  SMALLER id for an already-seen hash arrives in a later micro-batch,
+  the stream keeps the first-batch winner while batch keeps the global
+  min — dup *detection* is identical, the representative differs.
+- Batch-parity (``emit_updates=True``, update mode): state tracks the
+  RUNNING min id and total count, and every micro-batch in which a
+  hash appears re-emits the current ``(keep_id, n_dups)`` — a CDC-style
+  upsert stream. The LAST emission per hash always equals the batch
+  ``exact_dedup`` row (keep_id = global min, n_dups = total), so a
+  last-write-wins consumer converges to exact batch parity. File sinks
+  are append-only and cannot express upserts; use the memory sink or a
+  foreachBatch MERGE in production.
 - State crosses micro-batches AND restarts (the state store lives in
   the checkpoint), so a resumed job keeps suppressing hashes it saw
   before the restart — exactly-once emission per hash across the
@@ -48,9 +60,12 @@ def dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     ttl_minutes: int | None = None,
+    emit_updates: bool = False,
 ) -> DataFrame:
-    """Streaming exact-dedup: emits each content hash once (first
-    micro-batch it appears in), winner = min id within that batch."""
+    """Streaming exact-dedup. Default: emits each content hash once
+    (first micro-batch it appears in), winner = min id within that
+    batch. ``emit_updates=True``: upsert stream whose last emission per
+    hash equals the batch ``exact_dedup`` row (see module docstring)."""
 
     keyed = stream.select(
         F.md5(F.col(text_col)).alias("content_hash"),
@@ -76,7 +91,20 @@ def dedup_stream(
             return
         if state.exists:
             seen_id, seen_n = state.get
-            state.update((seen_id, seen_n + n))
+            if emit_updates:
+                # batch-parity: track the RUNNING min and re-emit the
+                # corrected row; last write wins downstream
+                new_id, new_n = min(seen_id, min_id), seen_n + n
+                state.update((new_id, new_n))
+                yield pd.DataFrame(
+                    {
+                        "content_hash": [key[0]],
+                        "keep_id": [new_id],
+                        "n_dups": [new_n],
+                    }
+                )
+            else:
+                state.update((seen_id, seen_n + n))
         else:
             state.update((min_id, n))
             yield pd.DataFrame(
@@ -91,7 +119,11 @@ def dedup_stream(
         else GroupStateTimeout.NoTimeout
     )
     return keyed.groupBy("content_hash").applyInPandasWithState(
-        first_wins, OUTPUT_DDL, STATE_DDL, "append", timeout
+        first_wins,
+        OUTPUT_DDL,
+        STATE_DDL,
+        "update" if emit_updates else "append",
+        timeout,
     )
 
 
@@ -104,6 +136,7 @@ def run_dedup_stream(
     max_files: int = 1,
     ttl_minutes: int | None = None,
     output_dir: str | None = None,
+    emit_updates: bool = False,
 ):
     """File-source drops -> stateful dedup -> sink, draining the
     current backlog (availableNow). With ``output_dir`` the sink is
@@ -111,15 +144,20 @@ def run_dedup_stream(
     RESUMES the state store, so hashes emitted in an earlier run stay
     suppressed); without it, an in-memory sink for single-run
     inspection (the memory sink cannot recover a checkpoint)."""
+    if emit_updates and output_dir is not None:
+        raise ValueError(
+            "emit_updates produces an upsert stream; file sinks are "
+            "append-only — use the memory sink or a foreachBatch MERGE"
+        )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
         .parquet(input_dir)
     )
     writer = (
-        dedup_stream(stream, ttl_minutes=ttl_minutes)
+        dedup_stream(stream, ttl_minutes=ttl_minutes, emit_updates=emit_updates)
         .writeStream.queryName(query_name)
-        .outputMode("append")
+        .outputMode("update" if emit_updates else "append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )

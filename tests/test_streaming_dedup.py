@@ -93,7 +93,84 @@ def test_state_ttl_accepts_config(spark, tmp_path):
     d = str(tmp_path / "drops3")
     _write_drop(spark, [{"doc_id": 1, "text": "zeta"}], d)
     q = run_dedup_stream(
-        spark, d, str(tmp_path / "ck3"), "dd3", DOCS_DDL, ttl_minutes=10
+        spark, d, str(tmp_path / "ck_ttl"), "dd_ttl", DOCS_DDL, ttl_minutes=10
+    )
+    # with a state TTL the ProcessingTimeTimeout keeps scheduling
+    # triggers (timeout sweeps), so the availableNow query neither
+    # self-terminates nor quiesces for processAllAvailable: poll the
+    # sink for the emitted row, then stop the query explicitly
+    import time
+
+    for _ in range(240):
+        if len(_memory_table(spark, "dd_ttl")) > 0:
+            break
+        time.sleep(0.5)
+    try:
+        assert set(_memory_table(spark, "dd_ttl")["keep_id"]) == {1}
+    finally:
+        q.stop()
+
+
+def test_late_smaller_id_divergence_pinned(spark, tmp_path):
+    """PINNED DIVERGENCE (default append mode): a smaller id for an
+    already-seen hash arriving in a LATER micro-batch does not change
+    the emitted winner — stream keeps the first-batch representative,
+    batch exact_dedup keeps the global min. Dup detection identical."""
+    import time
+
+    d = str(tmp_path / "drops3")
+    _write_drop(spark, [{"doc_id": 5, "text": "zeta"}], d)
+    time.sleep(1.1)  # distinct file mtimes -> deterministic batch order
+    _write_drop(spark, [{"doc_id": 3, "text": "zeta"}], d)
+
+    q = run_dedup_stream(
+        spark, d, str(tmp_path / "ck6"), "dd6", DOCS_DDL, max_files=1
     )
     q.awaitTermination(300)
-    assert set(_memory_table(spark, "dd3")["keep_id"]) == {1}
+    got = _memory_table(spark, "dd6")
+    assert len(got) == 1
+    assert int(got["keep_id"].iloc[0]) == 5  # first-batch winner kept
+    assert int(got["n_dups"].iloc[0]) == 1  # count frozen at emission
+
+    batch = exact_dedup(spark.read.parquet(d)).toPandas()
+    assert int(batch["keep_id"].iloc[0]) == 3  # batch keeps global min
+
+
+def test_emit_updates_batch_parity(spark, tmp_path):
+    """Batch-parity mode: every micro-batch a hash appears in re-emits
+    the running (min id, total count); the LAST emission per hash (=max
+    n_dups, counts grow monotonically) equals the batch exact_dedup row
+    even when the smaller id arrives late."""
+    import time
+
+    d = str(tmp_path / "drops4")
+    _write_drop(
+        spark,
+        [{"doc_id": 5, "text": "zeta"}, {"doc_id": 9, "text": "eta"}],
+        d,
+    )
+    time.sleep(1.1)
+    _write_drop(spark, [{"doc_id": 3, "text": "zeta"}], d)
+
+    q = run_dedup_stream(
+        spark, d, str(tmp_path / "ck4"), "dd4", DOCS_DDL, max_files=1,
+        emit_updates=True,
+    )
+    q.awaitTermination(300)
+    got = _memory_table(spark, "dd4")
+    # zeta emitted twice (initial + corrected), eta once
+    assert len(got) == 3
+    last = got.loc[got.groupby("content_hash")["n_dups"].idxmax()]
+    want = exact_dedup(spark.read.parquet(d)).toPandas()
+    merged = last.merge(want, on="content_hash", suffixes=("_s", "_b"))
+    assert len(merged) == 2
+    assert (merged["keep_id_s"] == merged["keep_id_b"]).all()
+    assert (merged["n_dups_s"] == merged["n_dups_b"]).all()
+    assert set(merged["keep_id_s"]) == {3, 9}
+
+    # upsert stream + append-only file sink is a contract violation
+    with pytest.raises(ValueError, match="append-only"):
+        run_dedup_stream(
+            spark, d, str(tmp_path / "ck5"), "dd5", DOCS_DDL,
+            emit_updates=True, output_dir=str(tmp_path / "out5"),
+        )
