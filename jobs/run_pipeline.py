@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--mode", choices=["resume", "overwrite"], default="resume")
     ap.add_argument("--fused", action="store_true", help="zero-shuffle plan")
     ap.add_argument("--threshold", type=float, default=None)
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="after the write, merge each partition's small parquet "
+        "files (Iceberg rewrite_data_files maintenance)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -62,6 +68,9 @@ def main() -> None:
     snapshot = writer.write(curated, mode=args.mode)
     print(f"committed partitions: {len(snapshot['committed_now'])}, "
           f"rows: {snapshot['rows_written']}")
+    if args.compact:
+        comp = writer.compact(spark)
+        print(f"compacted partitions: {len(comp['compaction'])}")
     spark.stop()
 
 

@@ -124,6 +124,7 @@ class TableWriter:
 
         Returns the snapshot dict (written to _snapshots too).
         """
+        self._finish_compaction()  # roll forward an interrupted compact()
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.snapshot_dir, exist_ok=True)
         pcol = self.partition_col
@@ -243,6 +244,7 @@ class TableWriter:
         Returns the persisted table schema (column order and the
         partition column's original type) even when no partition is
         committed yet."""
+        self._finish_compaction()  # a crashed compact() must not hide rows
         saved = None
         if os.path.exists(self.schema_path):
             with open(self.schema_path) as f:
@@ -283,6 +285,120 @@ class TableWriter:
             with open(self._manifest_path(p)) as f:
                 out[p] = json.load(f)
         return out
+
+    # ------------------------------------------------------------- compact
+
+    @property
+    def _compact_marker(self) -> str:
+        return os.path.join(self.root, "_compacting_partition.json")
+
+    def _finish_compaction(self) -> bool:
+        """Roll FORWARD an interrupted ``compact`` partition swap (same
+        write-ahead-marker protocol as the IVF index compaction: the
+        marker is written only after the replacement files are fully on
+        disk, so finishing is always safe). Returns True if recovery
+        work was done."""
+        if not os.path.exists(self._compact_marker):
+            return False
+        with open(self._compact_marker) as f:
+            pdir = json.load(f)["pdir"]
+        tmp, old = pdir + ".compact_tmp", pdir + ".old"
+        if os.path.isdir(tmp):
+            if os.path.isdir(pdir) and not os.path.isdir(old):
+                os.rename(pdir, old)
+            if not os.path.isdir(pdir):
+                os.rename(tmp, pdir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.unlink(self._compact_marker)
+        return True
+
+    def compact(self, spark: SparkSession, min_files: int = 2) -> dict:
+        """Merge each committed partition's many small parquet files
+        into one — the Iceberg ``rewrite_data_files`` maintenance op.
+        A 100 TB table written by wide jobs accumulates
+        tasks-per-partition small files; scan planning and footer reads
+        degrade linearly in file count, so periodic compaction is part
+        of the table contract, not an optimization.
+
+        Per-partition protocol (crash-safe, read-consistent):
+          1. rewrite the partition's rows to ``<pdir>.compact_tmp``
+             (coalesce(1); rows are unchanged, only file layout)
+          2. write the marker (commit point — always rolls forward)
+          3. swap: pdir -> pdir.old, tmp -> pdir
+          4. rewrite the manifest from the new parquet footers (row
+             count must match the old manifest — checked), drop marker
+
+        Partition-level visibility (committed_partitions) is never
+        touched, so prior snapshots remain valid — compaction changes
+        bytes layout, not table contents. Appends a snapshot entry
+        summarizing what was rewritten."""
+        import pyarrow.parquet as pq
+
+        self._finish_compaction()
+        rewritten: dict[str, dict] = {}
+        for p, pdir in sorted(self._data_partitions().items()):
+            if p not in self.committed_partitions():
+                continue  # orphan of a crashed write; resume owns it
+            files = [fn for fn in os.listdir(pdir) if fn.endswith(".parquet")]
+            if len(files) < min_files:
+                continue
+            old_manifest = self.partition_metrics()[p]
+            tmp = pdir + ".compact_tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            # rows only — the partition column lives in the dir name
+            spark.read.parquet(pdir).coalesce(1).write.mode("overwrite").parquet(tmp)
+            new_files, n_rows = [], 0
+            for fn in sorted(os.listdir(tmp)):
+                if fn.endswith(".parquet"):
+                    meta = pq.ParquetFile(os.path.join(tmp, fn)).metadata
+                    n_rows += meta.num_rows
+                    new_files.append({"file": fn, "rows": meta.num_rows})
+            if n_rows != old_manifest["metrics"]["n_rows"]:
+                shutil.rmtree(tmp)
+                raise RuntimeError(
+                    f"compaction row-count mismatch for partition {p!r}: "
+                    f"{n_rows} != {old_manifest['metrics']['n_rows']} — aborted"
+                )
+            with open(self._compact_marker + ".tmp", "w") as f:
+                json.dump({"pdir": pdir}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(self._compact_marker + ".tmp", self._compact_marker)
+            os.rename(pdir, pdir + ".old")
+            os.rename(tmp, pdir)
+            payload = dict(old_manifest)
+            payload["lineage"] = dict(old_manifest["lineage"])
+            payload["lineage"]["files"] = new_files
+            payload["lineage"]["compacted_at"] = time.time()
+            payload["lineage"]["compacted_from_n_files"] = len(files)
+            mpath = self._manifest_path(p)
+            with open(mpath + ".tmp", "w") as f:
+                json.dump(payload, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(mpath + ".tmp", mpath)
+            shutil.rmtree(pdir + ".old", ignore_errors=True)
+            os.unlink(self._compact_marker)
+            rewritten[p] = {"files_before": len(files), "files_after": len(new_files)}
+
+        snapshot = {
+            "snapshot_id": len(os.listdir(self.snapshot_dir))
+            if os.path.isdir(self.snapshot_dir)
+            else 0,
+            "compaction": rewritten,
+            "total_committed": sorted(self.committed_partitions()),
+            "rows_written": 0,
+        }
+        if os.path.isdir(self.snapshot_dir):
+            with open(
+                os.path.join(
+                    self.snapshot_dir, f"snap-{snapshot['snapshot_id']}.json"
+                ),
+                "w",
+            ) as f:
+                json.dump(snapshot, f)
+        return snapshot
 
 
 def salted_repartition(

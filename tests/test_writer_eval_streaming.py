@@ -246,3 +246,75 @@ def test_stream_matches_batch(spark, tmp_path):
         .sort_values(["window_start", "event_type"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_writer_compaction_merges_small_files(spark, tmp_path):
+    """compact() rewrites each committed partition's many small parquet
+    files into one: rows/read()/time-travel unchanged, manifests point
+    at the new footers, a second compact is a no-op."""
+    import os
+
+    # 16 upstream partitions x 4 buckets -> many files per hive dir
+    df = spark.range(0, 200, 1, 16).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("bucket"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(df)
+    before = w.read(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pdirs = w._data_partitions()
+    files_before = {
+        p: len([f for f in os.listdir(d) if f.endswith(".parquet")])
+        for p, d in pdirs.items()
+    }
+    assert max(files_before.values()) > 1  # there IS something to compact
+
+    snap = w.compact(spark)
+    assert set(snap["compaction"]) == {p for p, n in files_before.items() if n > 1}
+    for p, d in w._data_partitions().items():
+        n = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+        assert n == 1, (p, n)
+    after = w.read(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    # manifests describe the new files and keep the old row counts
+    m = w.partition_metrics()
+    assert sum(v["metrics"]["n_rows"] for v in m.values()) == 200
+    for p in snap["compaction"]:
+        assert len(m[p]["lineage"]["files"]) == 1
+        assert m[p]["lineage"]["compacted_from_n_files"] == files_before[p]
+    # idempotent: nothing left to rewrite
+    assert w.compact(spark)["compaction"] == {}
+
+
+def test_writer_compaction_crash_rolls_forward(spark, tmp_path):
+    """Reconstructed crash window: replacement files on disk + marker
+    written, but the swap not finished — the next read() rolls the swap
+    forward instead of silently dropping the partition's rows."""
+    import json
+    import os
+    import shutil
+
+    df = spark.range(0, 60, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("bucket"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(df)
+    before = w.read(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    # build the crash state by hand for one partition: tmp dir complete,
+    # marker present, original dir already renamed away (mid-swap crash)
+    p, pdir = sorted(w._data_partitions().items())[0]
+    tmp = pdir + ".compact_tmp"
+    spark.read.parquet(pdir).coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(w._compact_marker, "w") as f:
+        json.dump({"pdir": pdir}, f)
+    os.rename(pdir, pdir + ".old")
+
+    after = w.read(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)  # no rows lost
+    assert not os.path.exists(w._compact_marker)
+    assert os.path.isdir(pdir) and not os.path.isdir(pdir + ".old")
+    assert not os.path.isdir(tmp)
