@@ -79,3 +79,54 @@ def test_tensorize_arbitrary_token_rows(ids):
     assert t_ids.shape == (384, 5)
     assert t_ids[0, 4] == 2  # EOS appended
     assert not masks[1:].any()
+
+
+# ----------------------------------------------------------- PNG codec
+
+_png_mode = st.sampled_from([1, 2, 3, 4])  # channels
+_png_filter = st.integers(min_value=0, max_value=4)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    _png_mode,
+    _png_filter,
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_property(w, h, ch, ftype, seed):
+    """decode(encode(x)) == x for every size x mode x filter — the
+    unfilter recurrences must invert the filter recurrences exactly."""
+    import numpy as np
+
+    from neuscraper_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    arr = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_png(encode_png(arr, filter_type=ftype))
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)
+
+
+# ------------------------------------------------- perplexity batching
+
+_words_st = st.lists(
+    st.text(alphabet="abcdefgà'z", min_size=1, max_size=8), max_size=30
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_words_st, min_size=1, max_size=6))
+def test_ppl_batch_composition_invariant(word_lists):
+    """ppl of a text never depends on which batch it rides in: scoring
+    all texts together == scoring each alone (Arrow batch boundaries
+    move with partitioning, so this is a correctness invariant, not a
+    nicety)."""
+    from neuscraper_spark.operators.quality import ppl_batch
+
+    texts = [" ".join(ws) for ws in word_lists]
+    together = ppl_batch(texts)
+    singles = [ppl_batch([t])[0] for t in texts]
+    assert together == singles
