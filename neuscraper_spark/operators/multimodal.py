@@ -3,23 +3,29 @@
 Images/audio/video are `binary` columns with a metadata struct; decode
 and feature-extraction run as Arrow-batched stages over mapInPandas.
 
-Three REAL decoders are implemented from scratch against the public
-container specs with stdlib ``struct``/``zlib`` only (no codec
-libraries ship in this container):
+Four REAL decoders are implemented from scratch against the public
+container/coding specs with stdlib + numpy only (no codec libraries
+ship in this container):
 
 - **BMP** (Windows BITMAPINFOHEADER, uncompressed 24-bit BGR and 8-bit
   paletted): magic/offset walk, bottom-up row order, 4-byte row padding.
 - **PNG** (W3C PNG / RFC 2083, non-interlaced 8-bit gray/RGB/
   gray-alpha/RGBA): CRC-validated chunk walk, IDAT inflate, the five
   row filters (None/Sub/Up/Average/Paeth) reversed row-sequentially.
+- **JPEG** (ITU-T T.81 baseline sequential, `operators/jpeg.py`):
+  marker walk, canonical huffman decode from the file's own DHT
+  segments, MCU entropy decode with restart markers and byte
+  unstuffing, dequant + IDCT + chroma upsample + YCbCr->RGB; plus a
+  standard-tables encoder for round-trip tests. Progressive /
+  arithmetic / 12-bit raise.
 - **WAV** (RIFF/WAVE, PCM 8/16/24-bit + IEEE float32): chunk walk
   (skips LIST/fact/..., honours odd-size padding), fmt parse,
   EXTENSIBLE GUID resolution, interleaved channel de-mux.
 
-Codecs needing real DSP libraries (JPEG/MP3/MP4) remain honest
+Codecs needing real DSP libraries (MP3/MP4) remain honest
 ``NotImplementedError`` stubs — the ``FAKE`` self-describing container
 keeps schema/partitioning/batch-shape plumbing testable for those, and
-swapping in PIL/ffmpeg is a one-function change behind ``DECODERS``.
+swapping in ffmpeg is a one-function change behind ``DECODERS``.
 """
 
 from __future__ import annotations
@@ -393,13 +399,16 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Image dispatch: real BMP and PNG decodes, FAKE container for
-    stubbed codecs, NotImplementedError otherwise (JPEG needs a real
-    DCT codec library)."""
+    """Image dispatch: real BMP, PNG and baseline-JPEG decodes, FAKE
+    container for the remaining stubbed codecs."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     return _decode_image_stub(payload)
 
 
@@ -441,6 +450,20 @@ def _fake_png(media_id: int) -> bytes:
     return encode_png(px, filter_type=media_id % 5)
 
 
+def _fake_jpeg(media_id: int) -> bytes:
+    """Deterministic real baseline-JPEG payload (smooth gradient so the
+    lossy round-trip stays high-fidelity; id-keyed phase; alternates
+    gray / RGB)."""
+    from .jpeg import encode_jpeg
+
+    w, h = 24 + (media_id % 3) * 8, 16 + (media_id % 2) * 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = ((xx * 3 + yy * 2 + media_id * 5) % 256).astype(np.uint8)
+    if media_id % 2:
+        px = np.stack([px, (px + 40) % 256, (px + 80) % 256], axis=-1).astype(np.uint8)
+    return encode_jpeg(px, quality=92)
+
+
 def _fake_wav(media_id: int, sr: int = 16000) -> bytes:
     """Deterministic real PCM16 WAV payload (sine burst, id-keyed)."""
     t = np.arange(sr // 10, dtype=np.float64)
@@ -451,9 +474,9 @@ def _fake_wav(media_id: int, sr: int = 16000) -> bytes:
 
 def media_table(spark, n: int = 200, partitions: int = 8) -> DataFrame:
     """Synthetic media table (deterministic), kind alternating; half the
-    image/audio rows carry REAL containers (BMP or PNG / PCM16 WAV)
-    exercising the from-scratch decoders, the other half the FAKE
-    container that stands in for the remaining compressed codecs."""
+    image/audio rows carry REAL containers (BMP/PNG/JPEG rotating, and
+    PCM16 WAV) exercising the from-scratch decoders, the other half the
+    FAKE container that stands in for the remaining compressed codecs."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -464,9 +487,10 @@ def media_table(spark, n: int = 200, partitions: int = 8) -> DataFrame:
                 kind = kinds[i % 3]
                 real = (i // 3) % 2 == 0
                 if kind == "image" and real:
-                    # alternate BMP / PNG so both real decoders run in
-                    # the distributed path, not just unit tests
-                    payload = _fake_bmp(i) if (i // 6) % 2 == 0 else _fake_png(i)
+                    # rotate BMP / PNG / JPEG so all three real decoders
+                    # run in the distributed path, not just unit tests
+                    maker = [_fake_bmp, _fake_png, _fake_jpeg][(i // 6) % 3]
+                    payload = maker(i)
                     px = _decode_image(payload)
                     h, w = px.shape[:2]
                     frames, sr = 1, 0
@@ -567,10 +591,15 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     elif payload[:8] == _PNG_SIG:
                         px = resize_nearest(decode_png(payload), width, height)
                         payload = encode_png(px)
+                    elif payload[:2] == b"\xff\xd8":
+                        from .jpeg import decode_jpeg, encode_jpeg
+
+                        px = resize_nearest(decode_jpeg(payload), width, height)
+                        payload = encode_jpeg(px)
                     else:
                         raise NotImplementedError(
-                            "resize of compressed image codecs requires a real "
-                            "imaging library (PIL/opencv), not in this container"
+                            "resize of image codecs without a real decoder "
+                            "here (MP-family) needs an imaging library"
                         )
                     meta = dict(meta)
                     meta["width"], meta["height"] = width, height

@@ -44,8 +44,12 @@ def test_frame_sample(spark, media):
 
 
 def test_decode_rejects_compressed_payload():
-    with pytest.raises(NotImplementedError):
+    # a corrupt JPEG now reaches the REAL decoder and fails loud
+    with pytest.raises(ValueError):
         M._decode_image(b"\xff\xd8\xff\xe0 fake jpeg header" + b"\0" * 40)
+    # codecs without a real decoder still raise the honest stub error
+    with pytest.raises(NotImplementedError):
+        M._decode_image(b"\x00\x00\x00\x18ftypmp42" + b"\0" * 40)
 
 
 # ------------------------------------------------------------- BMP codec
