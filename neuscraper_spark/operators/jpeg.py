@@ -128,6 +128,18 @@ def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int
     return table
 
 
+def _build_decode_lut(bits: list[int], vals: list[int]) -> np.ndarray:
+    """Flat 2^16 lookup table: entry[peeked 16 bits] = (code_length <<
+    8) | symbol, 0 = invalid prefix. One array index replaces the
+    bit-by-bit tree walk (the classic fast-huffman construction: every
+    16-bit word starting with an L-bit code maps to that code)."""
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    for (length, code), sym in _build_decode_table(bits, vals).items():
+        start = code << (16 - length)
+        lut[start : start + (1 << (16 - length))] = (length << 8) | sym
+    return lut
+
+
 def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """{symbol -> (code, length)} from the same canonical construction."""
     return {v: (c, l) for (l, c), v in _build_decode_table(bits, vals).items()}
@@ -137,51 +149,72 @@ def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int
 
 
 class _BitReader:
-    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
-    stops at any non-RST marker. T.81 F.2.2.5."""
+    """Buffered MSB-first reader over entropy-coded data with 0xFF00
+    unstuffing (T.81 F.2.2.5). Fills whole bytes into an accumulator
+    and stops (without consuming) at any marker; `peek16` pads with
+    1-bits past the stream end — T.81's padding convention — so the
+    LUT lookahead on the final code of a scan/restart-chunk is safe."""
+
+    __slots__ = ("data", "pos", "acc", "n", "stopped")
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.n = 0
+        self.stopped = None  # None | ("rst", code) | ("marker", code)
 
-    def _fill(self) -> None:
+    def _fill_byte(self) -> bool:
+        if self.stopped is not None or self.pos >= len(self.data):
+            return False
         b = self.data[self.pos]
         if b == 0xFF:
-            nxt = self.data[self.pos + 1]
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
             if nxt == 0x00:
-                self.pos += 2  # stuffed 0xFF data byte
+                self.pos += 2  # stuffed data byte
             elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)
+                self.stopped = ("rst", nxt)
+                return False
             else:
-                raise ValueError(
-                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
-                )
+                self.stopped = ("marker", nxt)
+                return False
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
         self.n += 8
+        return True
 
-    def read_bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def peek16(self) -> int:
+        while self.n < 16 and self._fill_byte():
+            pass
+        if self.n >= 16:
+            return (self.acc >> (self.n - 16)) & 0xFFFF
+        cur = self.acc & ((1 << self.n) - 1) if self.n else 0
+        pad = 16 - self.n
+        return ((cur << pad) | ((1 << pad) - 1)) & 0xFFFF
 
     def read_bits(self, count: int) -> int:
-        v = 0
-        for _ in range(count):
-            v = (v << 1) | self.read_bit()
-        return v
+        if count == 0:
+            return 0
+        while self.n < count and self._fill_byte():
+            pass
+        if self.n < count:
+            if self.stopped and self.stopped[0] == "rst":
+                raise _RestartMarker(self.stopped[1])
+            raise ValueError("entropy data exhausted mid-symbol")
+        self.n -= count
+        return (self.acc >> self.n) & ((1 << count) - 1)
 
     def sync_to_marker(self) -> None:
-        """Drop partial byte and consume an expected RST marker."""
+        """Drop partial-byte padding and consume an expected RST."""
         self.acc = 0
         self.n = 0
-        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+        self.stopped = None
+        while self.pos + 1 < len(self.data) and (
+            self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00
+        ):
             self.pos += 1
-        if 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+        if self.pos + 1 < len(self.data) and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
             self.pos += 2
 
 
@@ -190,14 +223,12 @@ class _RestartMarker(Exception):
         self.code = code
 
 
-def _decode_huffman(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid huffman code in entropy data")
+def _decode_huffman(br: _BitReader, lut: np.ndarray) -> int:
+    entry = int(lut[br.peek16()])
+    if entry == 0:
+        raise ValueError("invalid huffman code in entropy data")
+    br.read_bits(entry >> 8)  # consume the code's real bits
+    return entry & 0xFF
 
 
 def _extend(v: int, t: int) -> int:
@@ -251,8 +282,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[b + 1 : b + 17])
                 n = sum(bits)
                 vals = list(body[b + 17 : b + 17 + n])
-                table = _build_decode_table(bits, vals)
-                (huff_dc if tc == 0 else huff_ac)[th] = table
+                lut = _build_decode_lut(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = lut
                 b += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline-compatible
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
