@@ -115,3 +115,37 @@ def test_scan_splits_are_cpu_granular(spark, tmp_path):
     # of the session's parallelism, so a small cluster can never see
     # the whole table as one wave of giant tasks
     assert parts >= 8, parts
+
+
+def test_quality_tail_zero_shuffle_no_python(spark):
+    """q_quality_tail (heuristics + PII scrub + keep over documents) is
+    a pure scan->project: no Exchange, no python UDF stage, pruned read
+    schema — the shape that holds at 10^12 documents."""
+    plan = plan_of(all_queries()["q_quality_tail"](spark, SF_DIR))
+    assert "Exchange" not in plan           # narrow, partition-local
+    assert "BatchEvalPython" not in plan    # no row-at-a-time python
+    assert "ArrowEvalPython" not in plan    # not even vectorized python
+    assert "*(1)" in plan                   # whole-stage codegen stage
+    read_schema = plan.split("ReadSchema:")[1][:300]
+    assert "source" not in read_schema      # unused column pruned
+
+
+def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
+    """The stored-index probe reads only probed cell partitions: with
+    nprobe=1 the scan's partition filter names exactly one cell."""
+    from pyspark.sql import functions as F
+
+    from neuscraper_spark.operators.similarity import (
+        ann_ivf_topk_indexed,
+        build_ivf_index,
+        queries_from_ids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "ivf_plan")
+    build_ivf_index(spark, emb, root, n_centroids=8)
+    df = ann_ivf_topk_indexed(spark, root, queries_from_ids(emb, [0]), k=3, nprobe=1)
+    plan = plan_of(df)
+    # the committed-partition filter (cell IN (...)) reaches the scan
+    assert "cell" in plan
+    df.collect()  # and it executes correctly end-to-end
