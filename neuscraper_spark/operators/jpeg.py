@@ -358,6 +358,12 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, restart_interv
         for cid, hs, vs, _ in comps
     }
     pred = {cid: 0 for cid, *_ in comps}
+    # entropy-decode the whole scan into per-component coefficient
+    # stacks, then run ONE batched dequant + IDCT per component (an
+    # einsum over [n_blocks, 8, 8]) instead of two 8x8 matmuls per
+    # block from inside the python loop
+    coeffs: dict[int, list] = {cid: [] for cid, *_ in comps}
+    spots: dict[int, list] = {cid: [] for cid, *_ in comps}
     br = _BitReader(data, pos)
     mcu_count = 0
     for my in range(mcuy):
@@ -370,22 +376,34 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, restart_interv
                     td, ta = scan_by_cid[cid]
                     for by in range(vs):
                         for bx in range(hs):
-                            blk = _decode_block(
-                                br, huff_dc[td], huff_ac[ta], quant[tq], pred, cid
+                            coeffs[cid].append(
+                                _decode_block_coeffs(
+                                    br, huff_dc[td], huff_ac[ta], pred, cid
+                                )
                             )
-                            y0 = (my * vs + by) * 8
-                            x0 = (mx * hs + bx) * 8
-                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+                            spots[cid].append(
+                                ((my * vs + by) * 8, (mx * hs + bx) * 8)
+                            )
             except _RestartMarker:
                 raise ValueError("restart marker landed mid-MCU") from None
             mcu_count += 1
+    for cid, hs, vs, tq in comps:
+        if not coeffs[cid]:
+            continue
+        stack = np.stack(coeffs[cid]).astype(np.float64) * quant[tq][None, :, :]
+        blocks = np.einsum("ij,njk,kl->nil", _D.T, stack, _D)
+        plane = planes[cid]
+        for (y0, x0), blk in zip(spots[cid], blocks):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
     return (
         {cid: np.clip(np.round(p + 128.0), 0, 255) for cid, p in planes.items()},
         br.pos,
     )
 
 
-def _decode_block(br, dc_table, ac_table, qt, pred, cid) -> np.ndarray:
+def _decode_block_coeffs(br, dc_table, ac_table, pred, cid) -> np.ndarray:
+    """Entropy-decode one block -> natural-order [8, 8] int coefficients
+    (dequant + IDCT happen batched per scan)."""
     zz = np.zeros(64, dtype=np.int64)
     t = _decode_huffman(br, dc_table)
     diff = _extend(br.read_bits(t), t)
@@ -407,8 +425,7 @@ def _decode_block(br, dc_table, ac_table, qt, pred, cid) -> np.ndarray:
         k += 1
     nat = np.zeros(64, dtype=np.int64)
     nat[ZIGZAG] = zz
-    coeffs = (nat.reshape(8, 8) * qt).astype(np.float64)
-    return _D.T @ coeffs @ _D  # inverse DCT (orthonormal basis)
+    return nat.reshape(8, 8)
 
 
 # --------------------------------------------------------------- encoder
