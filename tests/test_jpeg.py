@@ -48,21 +48,19 @@ def test_quality_monotone():
     assert _psnr(img, decode_jpeg(lo)) <= _psnr(img, decode_jpeg(hi)) + 0.5
 
 
-# real third-party JPEGs present in this environment (produced by real
-# encoders: they embed their own DQT/DHT, exercise 4:2:0 subsampling and
-# restart markers). Skipped gracefully where absent.
-_REAL_FILES = [
-    p
-    for p in [
-        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
-        "site-packages/IPython/core/tests/2x2.jpg",
-        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
-        "test/imghdrdata/python.jpg",
-        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
-        "rust/html/embedded-book/assets/verify.jpeg",
-    ]
-    if os.path.exists(p)
+# real third-party JPEGs discovered on the host (produced by real
+# encoders: they embed their own DQT/DHT, exercise 4:2:0 subsampling
+# and restart markers — CPython/IPython/rust-docs test assets ship
+# small ones). Skipped gracefully where absent.
+import glob as _glob
+
+_SEARCH_GLOBS = [
+    "/usr/lib/python3*/test/imghdrdata/python.jpg",
+    "/root/.rustup/toolchains/*/share/doc/rust/html/embedded-book/assets/verify.jpeg",
+    "/mnt/*/*/*/python/install/lib/python3*/test/imghdrdata/python.jpg",
+    "/mnt/*/*/*/python/install/lib/python3*/site-packages/IPython/core/tests/2x2.jpg",
 ]
+_REAL_FILES = sorted({p for g in _SEARCH_GLOBS for p in _glob.glob(g)})
 
 
 @pytest.mark.skipif(not _REAL_FILES, reason="no third-party JPEGs on this host")
@@ -82,13 +80,10 @@ def test_decode_real_world_files():
 def test_2x2_known_content():
     """IPython's 2x2.jpg is a known mid-gray fixture: all four pixels
     decode to 128 — an exact, externally-produced expectation."""
-    p = (
-        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
-        "site-packages/IPython/core/tests/2x2.jpg"
-    )
-    if not os.path.exists(p):
+    hits = [p for p in _REAL_FILES if p.endswith("2x2.jpg")]
+    if not hits:
         pytest.skip("fixture absent")
-    with open(p, "rb") as f:
+    with open(hits[0], "rb") as f:
         px = decode_jpeg(f.read())
     assert px.shape == (2, 2)
     assert px.tolist() == [[128, 128], [128, 128]]
