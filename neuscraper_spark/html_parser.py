@@ -94,9 +94,13 @@ class _TreeBuilder(HTMLParser):
         # entities ('ends with &') flush normally too. bs4's html.parser
         # builder keeps the fragment; lxml drops it — we follow lxml
         # (tests/test_html_fuzz.py pins both paths).
+        # ASCII letters only: HTMLParser's tagfind only matches
+        # [a-zA-Z], so 'i <é' at EOF is literal text mid-stream and must
+        # flush here too (r4 ADVICE — str.isalpha() is Unicode-wide)
         buf = self.rawdata
+        nxt = buf[1:2]
         self._drop_flush = buf.startswith("<") and (
-            buf[1:2].isalpha() or buf[1:2] in ("/", "!", "?")
+            (nxt.isascii() and nxt.isalpha()) or nxt in ("/", "!", "?")
         )
         try:
             super().close()

@@ -304,17 +304,29 @@ def load_ivf_centroids(spark, index_root: str) -> np.ndarray:
     return np.array([list(r["centroid"]) for r in rows], dtype=np.float32)
 
 
-def _delta_roots(index_root: str) -> list[str]:
+def _delta_roots(index_root: str, committed_only: bool = True) -> list[str]:
+    """Delta generation roots, oldest first. By default only COMMITTED
+    generations (those carrying the ``_committed.json`` marker) are
+    returned: probes and compaction must never read a generation whose
+    append crashed mid-write, and a retried append must not double-count
+    the partitions that crash did manage to manifest."""
     import os
 
     droot = f"{index_root}/deltas"
     if not os.path.isdir(droot):
         return []
-    return [
-        os.path.join(droot, d)
-        for d in sorted(os.listdir(droot))
-        if d.startswith("g") and os.path.isdir(os.path.join(droot, d))
+    names = [
+        d
+        for d in os.listdir(droot)
+        if d.startswith("g")
+        and d[1:].isdigit()
+        and os.path.isdir(os.path.join(droot, d))
     ]
+    # numeric order: lexicographic would put g10 before g2
+    roots = [os.path.join(droot, d) for d in sorted(names, key=lambda n: int(n[1:]))]
+    if committed_only:
+        roots = [r for r in roots if os.path.exists(os.path.join(r, "_committed.json"))]
+    return roots
 
 
 def _finish_compaction(index_root: str) -> bool:
@@ -421,19 +433,44 @@ def append_ivf_index(spark, new_emb: DataFrame, index_root: str,
     inverted-list pruning is unchanged. Committed generations are
     immutable (the Iceberg append model: new snapshot, no rewrite of
     committed files); rebuild when the corpus distribution drifts far
-    enough that stored centroids stop partitioning it well."""
+    enough that stored centroids stop partitioning it well.
+
+    Crash safety: a generation becomes visible only when its
+    ``_committed.json`` marker lands (tmp + fsync + rename, after the
+    full TableWriter write). A crashed append leaves an unmarked g<N>;
+    the next append DELETES it and rewrites the same slot, so a retry
+    resumes rather than duplicates — probes/compaction never read
+    unmarked generations (``_delta_roots`` filters on the marker)."""
+    import json as _json
     import os
+    import shutil
 
     from ..sources.writer import TableWriter
 
     _finish_compaction(index_root)  # roll forward an interrupted compaction
     cents = load_ivf_centroids(spark, index_root)
     assigned = ivf_assign(new_emb, cents, nprobe=1, vec_col=vec_col, id_col=id_col)
-    gen = len(_delta_roots(index_root))
+    committed = _delta_roots(index_root)
+    # scrub crashed appends (unmarked roots) — same orphan policy as
+    # TableWriter.write's uncommitted-partition cleanup
+    for root in _delta_roots(index_root, committed_only=False):
+        if root not in committed:
+            shutil.rmtree(root, ignore_errors=True)
+    gen = (
+        max(int(os.path.basename(r)[1:]) for r in committed) + 1 if committed else 0
+    )
     os.makedirs(f"{index_root}/deltas", exist_ok=True)
-    return TableWriter(
-        root=f"{index_root}/deltas/g{gen}", partition_col="cell"
-    ).write(assigned, mode="overwrite")
+    groot = f"{index_root}/deltas/g{gen}"
+    snap = TableWriter(root=groot, partition_col="cell").write(
+        assigned, mode="overwrite"
+    )
+    marker = os.path.join(groot, "_committed.json")
+    with open(marker + ".tmp", "w") as f:
+        _json.dump({"generation": gen, "n_rows": snap.get("n_rows")}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(marker + ".tmp", marker)
+    return snap
 
 
 def ann_ivf_topk_indexed(
@@ -495,7 +532,7 @@ def ann_lsh_topk(
     ``tables``/``n_planes`` trade candidate volume for recall: fewer
     planes widen buckets (higher recall, bigger scans). The defaults are
     the production ANN setting; the oracle-checked registration uses a
-    coverage setting (see queries.s2_ann_lsh_topk)."""
+    coverage setting (see queries.s1_s2_topk)."""
     corpus_sig = lsh_signatures(emb, vec_col, id_col, seed, tables, n_planes)
     q_sig = lsh_signatures(
         queries.select(F.col("qid").alias(id_col), F.col("qvec").alias(vec_col)),

@@ -38,7 +38,14 @@ def query(name: str, sql: str | None):
 
 
 def all_queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    # Oracle-backed entries first: the driver's correctness artifact caps
+    # at 50 rows in iteration order (r4 VERDICT #1 — late registrations
+    # rotated checked queries out of the window). Rows-only entries
+    # (model-driven by design, gated by the byte-identity pytest suite)
+    # go last; tests/test_registry.py pins total <= 50.
+    ordered = {k: v for k, v in _QUERIES.items() if k in _ORACLES}
+    ordered.update({k: v for k, v in _QUERIES.items() if k not in _ORACLES})
+    return ordered
 
 
 def all_oracles() -> dict[str, str]:
@@ -531,33 +538,41 @@ def w4_slice_limit(spark, sf_dir):
 
 
 @query(
-    "u1_union",
+    "u1_u2_set_ops",
     """
-    SELECT event_type, count(*) AS n FROM (
+    SELECT 'union' AS variant, event_type AS k, CAST(count(*) AS BIGINT) AS n
+    FROM (
       SELECT event_type FROM events WHERE value > 95
       UNION ALL
       SELECT event_type FROM events WHERE value < 5
     ) GROUP BY event_type
+    UNION ALL
+    SELECT 'except' AS variant, lang AS k, CAST(NULL AS BIGINT) AS n
+    FROM (SELECT lang FROM (SELECT DISTINCT lang FROM documents)
+          EXCEPT SELECT 'en' AS lang)
     """,
 )
-def u1_union(spark, sf_dir):
+def u1_u2_set_ops(spark, sf_dir):
+    # U1 (union-all + reagg) and U2 (set difference) share one driver row
+    # as a variant-tagged union — both subplans stay fully hash-checked
+    # (r4 VERDICT: 54 registrations vs the driver's 50-row window).
     ev = _t(spark, sf_dir, "events")
     hi = ev.filter(F.col("value") > 95).select("event_type")
     lo = ev.filter(F.col("value") < 5).select("event_type")
-    return hi.unionByName(lo).groupBy("event_type").agg(F.count("*").alias("n"))
-
-
-@query(
-    "u2_except",
-    """
-    SELECT lang FROM (SELECT DISTINCT lang FROM documents)
-    EXCEPT SELECT 'en' AS lang
-    """,
-)
-def u2_except(spark, sf_dir):
+    u1 = (
+        hi.unionByName(lo)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("union").alias("variant"), F.col("event_type").alias("k"), "n")
+    )
     docs = _t(spark, sf_dir, "documents").select("lang").distinct()
     en = docs.sparkSession.createDataFrame([("en",)], "lang string")
-    return docs.exceptAll(en)
+    u2 = docs.exceptAll(en).select(
+        F.lit("except").alias("variant"),
+        F.col("lang").alias("k"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return u1.unionByName(u2)
 
 
 # ---------------------------------------------------------------------------
@@ -566,51 +581,39 @@ def u2_except(spark, sf_dir):
 
 
 @query(
-    "c1_strip_ws",
+    "c1_c2_string_funcs",
     """
-    SELECT doc_id,
+    SELECT doc_id, 'strip' AS variant,
            regexp_replace(concat(' \t', text, '\r '),
-                          '^[\r\n\t\\x{00A0} ]+|[\r\n\t\\x{00A0} ]+$', '', 'g') AS stripped
+                          '^[\r\n\t\\x{00A0} ]+|[\r\n\t\\x{00A0} ]+$', '', 'g') AS result
     FROM documents WHERE doc_id < 50
-    """,
-)
-def c1_strip_ws(spark, sf_dir):
-    # C1: the byte-identity strip charset (build.py:85) — wrap the text in
-    # junk whitespace first so the strip actually has work to do.
-    from .functions.text import strip_ws
-
-    return (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 50)
-        .select(
-            "doc_id",
-            strip_ws(F.concat(F.lit(" \t"), F.col("text"), F.lit("\r "))).alias("stripped"),
-        )
-    )
-
-
-@query(
-    "c2_unescape",
-    """
-    SELECT doc_id,
+    UNION ALL
+    SELECT doc_id, 'unescape' AS variant,
            replace(replace(replace(concat('a#N#b#TAB#', substr(text, 1, 20), '#R#'),
-             '#N#', chr(10)), '#TAB#', chr(9)), '#R#', chr(13)) AS unescaped
+             '#N#', chr(10)), '#TAB#', chr(9)), '#R#', chr(13)) AS result
     FROM documents WHERE doc_id < 50
     """,
 )
-def c2_unescape(spark, sf_dir):
-    from .functions.text import unescape_gold
+def c1_c2_string_funcs(spark, sf_dir):
+    # C1 (byte-identity strip charset, build.py:85) + C2 (escape-token
+    # unescape) share one driver row as a variant-tagged union; both
+    # string kernels stay fully hash-checked (50-row driver window).
+    from .functions.text import strip_ws, unescape_gold
 
-    return (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 50)
-        .select(
-            "doc_id",
-            unescape_gold(
-                F.concat(F.lit("a#N#b#TAB#"), F.substring("text", 1, 20), F.lit("#R#"))
-            ).alias("unescaped"),
-        )
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    c1 = docs.select(
+        "doc_id",
+        F.lit("strip").alias("variant"),
+        strip_ws(F.concat(F.lit(" \t"), F.col("text"), F.lit("\r "))).alias("result"),
     )
+    c2 = docs.select(
+        "doc_id",
+        F.lit("unescape").alias("variant"),
+        unescape_gold(
+            F.concat(F.lit("a#N#b#TAB#"), F.substring("text", 1, 20), F.lit("#R#"))
+        ).alias("result"),
+    )
+    return c1.unionByName(c2)
 
 
 @query(
@@ -772,7 +775,7 @@ def d2_ngram_jaccard(spark, sf_dir):
 
 
 @query(
-    "d6_neardup_components",
+    "d6_d7_components",
     """
     WITH RECURSIVE words AS (
       SELECT doc_id,
@@ -806,35 +809,36 @@ def d2_ngram_jaccard(spark, sf_dir):
       SELECT src, src FROM bidir
       UNION
       SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id
-    )
-    SELECT id, min(lbl) AS component FROM reach GROUP BY id
+    ),
+    comps AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+    SELECT v.variant, c.id, c.component
+    FROM comps c CROSS JOIN (SELECT unnest(['plain', 'doubling']) AS variant) v
     """,
 )
-def d6_neardup_components(spark, sf_dir):
-    # D6 — transitive near-dup CLUSTERS over the D2 pair graph:
-    # iterative min-label propagation on Spark vs a recursive CTE in the
-    # oracle. Components (not pairs) are what keep/drop consumes —
-    # dedup_keep_representatives drops all but the min-id doc per
-    # cluster.
-    from .operators.dedup import connected_components, ngram_jaccard_pairs
+def d6_d7_components(spark, sf_dir):
+    # D6 — transitive near-dup CLUSTERS over the D2 pair graph — and D7,
+    # its pointer-doubling variant (O(log diameter) rounds for deep
+    # clusters), share one driver row: both label algorithms run and are
+    # hash-checked against the SAME recursive-CTE oracle, variant-tagged
+    # (r4 VERDICT consolidation: same oracle → one row). Components (not
+    # pairs) are what keep/drop consumes — dedup_keep_representatives
+    # drops all but the min-id doc per cluster.
+    from .operators.dedup import (
+        connected_components,
+        connected_components_doubling,
+        ngram_jaccard_pairs,
+    )
 
     pairs = ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.2, df_cap=100
     ).select("id_a", "id_b")
-    return connected_components(pairs)
-
-
-@query("d7_components_doubling", _ORACLES["d6_neardup_components"])
-def d7_components_doubling(spark, sf_dir):
-    # D6's pointer-doubling variant (O(log diameter) rounds for
-    # pathological deep clusters) against the SAME recursive-CTE oracle:
-    # both label algorithms must produce identical components.
-    from .operators.dedup import connected_components_doubling, ngram_jaccard_pairs
-
-    pairs = ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.2, df_cap=100
-    ).select("id_a", "id_b")
-    return connected_components_doubling(pairs)
+    plain = connected_components(pairs).select(
+        F.lit("plain").alias("variant"), "id", "component"
+    )
+    doubling = connected_components_doubling(pairs).select(
+        F.lit("doubling").alias("variant"), "id", "component"
+    )
+    return plain.unionByName(doubling)
 
 
 _SHINGLE_JACCARD_SQL = """
@@ -939,76 +943,59 @@ _EXACT_TOPK_SQL = """
     """
 
 
-@query(
-    "s1_bruteforce_topk",
-    """
-    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
-               FROM embeddings WHERE vec_id < 5),
-    scored AS (
-      SELECT q.qid, e.vec_id AS nid,
-             round(list_dot_product(e.embedding::DOUBLE[], q.qvec) /
-                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-                    sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
-      FROM embeddings e, q WHERE e.vec_id != q.qid
-    ),
-    ranked AS (
-      SELECT qid, nid, cosine,
-             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
-      FROM scored)
-    SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10
-    """,
-)
-def s1_bruteforce_topk(spark, sf_dir):
-    from .operators.similarity import brute_force_topk, queries_from_ids
+def _variant_topk_sql(*variants: str) -> str:
+    """Exact top-k oracle replicated under variant tags: every ANN path
+    whose setting provably covers the true top-10 must equal it
+    bit-for-bit, so same-oracle paths share one driver row."""
+    vals = ", ".join(f"'{v}'" for v in variants)
+    return (
+        f"WITH base AS ({_EXACT_TOPK_SQL})\n"
+        f"    SELECT v.variant, b.qid, b.nid, b.cosine, b.rank\n"
+        f"    FROM base b CROSS JOIN (SELECT unnest([{vals}]) AS variant) v"
+    )
+
+
+@query("s1_s2_topk", _variant_topk_sql("brute", "lsh"))
+def s1_s2_topk(spark, sf_dir):
+    # S1 (brute-force exact top-k, the baseline) and S2 (hyperplane-LSH
+    # ANN) share one driver row, variant-tagged. S2 runs at the COVERAGE
+    # setting (VERDICT r2 #5): 2 hyperplanes x 24 tables make
+    # bucket-collision probability ~1 for any moderate-cosine pair
+    # (miss <= (1-p^2)^24, p = 1-theta/pi), so the candidate set provably
+    # covers the true top-10 and the full signature -> bucket-join ->
+    # exact-rerank machinery must reproduce the exact SQL top-k
+    # bit-for-bit. The production ANN setting (6 planes, ~1/3 corpus
+    # scanned) keeps its recall pytest gate.
+    from .operators.similarity import ann_lsh_topk, brute_force_topk, queries_from_ids
 
     emb = _t(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, queries_from_ids(emb, range(5)), k=10)
+    q = queries_from_ids(emb, range(5))
+    brute = brute_force_topk(emb, q, k=10).select(
+        F.lit("brute").alias("variant"), "qid", "nid", "cosine", "rank"
+    )
+    lsh = ann_lsh_topk(emb, q, k=10, tables=24, n_planes=2).select(
+        F.lit("lsh").alias("variant"), "qid", "nid", "cosine", "rank"
+    )
+    return brute.unionByName(lsh)
 
 
-@query("s2_ann_lsh_topk", _EXACT_TOPK_SQL)
-def s2_ann_lsh_topk(spark, sf_dir):
-    # S2 oracle-checked at the COVERAGE setting (VERDICT r2 #5): 2
-    # hyperplanes x 24 tables make bucket-collision probability ~1 for
-    # any moderate-cosine pair (miss <= (1-p^2)^24, p = 1-theta/pi), so
-    # the candidate set provably covers the true top-10 and the full
-    # signature -> bucket-join -> exact-rerank machinery must reproduce
-    # the exact SQL top-k bit-for-bit. The production ANN setting
-    # (6 planes, ~1/3 corpus scanned) keeps its recall pytest gate.
-    from .operators.similarity import ann_lsh_topk, queries_from_ids
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(emb, queries_from_ids(emb, range(5)), k=10,
-                        tables=24, n_planes=2)
-
-
-@query("s3_ann_ivf_topk", _EXACT_TOPK_SQL)
-def s3_ann_ivf_topk(spark, sf_dir):
-    # S3 oracle-checked at the EXHAUSTIVE probe setting: nprobe ==
-    # n_centroids means every cell is probed, so IVF's train -> assign ->
-    # cell-join -> rerank chain must equal the exact SQL top-k — the
-    # oracle exercises the whole distributed machinery; the ANN recall
-    # at nprobe=4 stays pytest-gated (tests/test_similarity.py).
-    from .operators.similarity import ann_ivf_topk, queries_from_ids
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return ann_ivf_topk(emb, queries_from_ids(emb, range(5)), k=10,
-                        n_centroids=16, nprobe=16)
-
-
-@query("s4_ann_ivf_indexed", _EXACT_TOPK_SQL)
-def s4_ann_ivf_indexed(spark, sf_dir):
-    # The STORED-index chain a production user actually runs, driver-
-    # checked end-to-end: build_ivf_index persists centroids + the
-    # cell-partitioned corpus (half of it), append_ivf_index grows it
-    # with the other half as an immutable delta generation, and
-    # ann_ivf_topk_indexed probes base ∪ delta with hive-partition
-    # pruning. At nprobe == n_centroids every cell is probed, so the
-    # result must equal the exact SQL top-k bit-for-bit — proving no
-    # vectors were lost or duplicated across build/append/prune/probe.
+@query("s3_s4_ivf_topk", _variant_topk_sql("transient", "stored"))
+def s3_s4_ivf_topk(spark, sf_dir):
+    # S3 (transient IVF: train -> assign -> cell-join -> rerank) and S4
+    # (the STORED-index chain a production user actually runs:
+    # build_ivf_index persists centroids + the cell-partitioned corpus
+    # (half of it), append_ivf_index grows it with the other half as an
+    # immutable delta generation, ann_ivf_topk_indexed probes base ∪
+    # delta with hive-partition pruning) share one driver row. At
+    # nprobe == n_centroids every cell is probed, so both must equal the
+    # exact SQL top-k bit-for-bit — proving no vectors were lost or
+    # duplicated across build/append/prune/probe. ANN recall at nprobe=4
+    # stays pytest-gated (tests/test_similarity.py).
     import os
     import shutil
 
     from .operators.similarity import (
+        ann_ivf_topk,
         ann_ivf_topk_indexed,
         append_ivf_index,
         build_ivf_index,
@@ -1016,15 +1003,20 @@ def s4_ann_ivf_indexed(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    q = queries_from_ids(emb, range(5))
+    transient = ann_ivf_topk(emb, q, k=10, n_centroids=16, nprobe=16).select(
+        F.lit("transient").alias("variant"), "qid", "nid", "cosine", "rank"
+    )
     root = f"/tmp/neuscraper_s4_index_{os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(root, ignore_errors=True)  # stale deltas would duplicate
     build_ivf_index(
         spark, emb.filter(F.col("vec_id") % 2 == 0), root, n_centroids=16
     )
     append_ivf_index(spark, emb.filter(F.col("vec_id") % 2 == 1), root)
-    return ann_ivf_topk_indexed(
-        spark, root, queries_from_ids(emb, range(5)), k=10, nprobe=16
+    stored = ann_ivf_topk_indexed(spark, root, q, k=10, nprobe=16).select(
+        F.lit("stored").alias("variant"), "qid", "nid", "cosine", "rank"
     )
+    return transient.unionByName(stored)
 
 
 # ---------------------------------------------------------------------------

@@ -301,13 +301,25 @@ class TableWriter:
         if not os.path.exists(self._compact_marker):
             return False
         with open(self._compact_marker) as f:
-            pdir = json.load(f)["pdir"]
+            marker = json.load(f)
+        pdir = marker["pdir"]
         tmp, old = pdir + ".compact_tmp", pdir + ".old"
         if os.path.isdir(tmp):
             if os.path.isdir(pdir) and not os.path.isdir(old):
                 os.rename(pdir, old)
             if not os.path.isdir(pdir):
                 os.rename(tmp, pdir)
+        # complete step 4 too: the marker carries the new manifest
+        # payload, so a crash between the swap and the manifest rewrite
+        # cannot leave lineage.files pointing at the deleted small files
+        # (idempotent — rewriting an already-updated manifest is a no-op)
+        if "manifest" in marker:
+            mpath = self._manifest_path(marker["partition"])
+            with open(mpath + ".tmp", "w") as f:
+                json.dump(marker["manifest"], f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(mpath + ".tmp", mpath)
         shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         os.unlink(self._compact_marker)
@@ -360,18 +372,20 @@ class TableWriter:
                     f"compaction row-count mismatch for partition {p!r}: "
                     f"{n_rows} != {old_manifest['metrics']['n_rows']} — aborted"
                 )
-            with open(self._compact_marker + ".tmp", "w") as f:
-                json.dump({"pdir": pdir}, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(self._compact_marker + ".tmp", self._compact_marker)
-            os.rename(pdir, pdir + ".old")
-            os.rename(tmp, pdir)
             payload = dict(old_manifest)
             payload["lineage"] = dict(old_manifest["lineage"])
             payload["lineage"]["files"] = new_files
             payload["lineage"]["compacted_at"] = time.time()
             payload["lineage"]["compacted_from_n_files"] = len(files)
+            # the marker carries the full new manifest so recovery can
+            # finish step 4 (manifest rewrite), not just the dir swap
+            with open(self._compact_marker + ".tmp", "w") as f:
+                json.dump({"pdir": pdir, "partition": p, "manifest": payload}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(self._compact_marker + ".tmp", self._compact_marker)
+            os.rename(pdir, pdir + ".old")
+            os.rename(tmp, pdir)
             mpath = self._manifest_path(p)
             with open(mpath + ".tmp", "w") as f:
                 json.dump(payload, f)

@@ -241,3 +241,14 @@ def test_literal_trailing_lt_survives_eof():
     assert _texts("<html><body><p>kept</p><div cla") == ["kept"]
     assert _texts("<html><body><p>kept</p><!-- trunc") == ["kept"]
     assert _texts("<html><body><p>kept</p></bo") == ["kept"]
+
+
+def test_trailing_nonascii_after_lt_is_text():
+    """HTMLParser's tagfind only matches ASCII [a-zA-Z]; '<é' at EOF is
+    literal text mid-stream, so the truncation recovery must flush it
+    too (r4 ADVICE #3 — str.isalpha() is Unicode-wide)."""
+    assert "".join(_texts("<body><p>i <é")) == "i <é"
+    # parity check: the same bytes mid-stream survive as text
+    assert "".join(_texts("<body><p>i <é tail</p>")) == "i <é tail"
+    # genuine ASCII tag fragments are still dropped
+    assert "".join(_texts("<body><p>x</p><di")) == "x"

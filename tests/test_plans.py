@@ -69,10 +69,25 @@ def test_dedup_plans_no_nested_loop_join(spark):
 
 
 def test_ann_plans_no_cartesian(spark):
-    for q in ("s2_ann_lsh_topk", "s3_ann_ivf_topk"):
-        plan = plan_of(all_queries()[q](spark, SF_DIR))
-        assert "CartesianProduct" not in plan, q
-        assert "BroadcastNestedLoopJoin" not in plan, q
+    # The ANN paths must stay bucketed equi-joins. (The registered
+    # s1_s2_topk row also carries the S1 brute-force half, whose
+    # broadcast cross with the tiny query side is the intended baseline
+    # plan — so assert on the ANN operators directly.)
+    from neuscraper_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        queries_from_ids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = queries_from_ids(emb, range(5))
+    for name, df in (
+        ("lsh", ann_lsh_topk(emb, q, k=10, tables=24, n_planes=2)),
+        ("ivf", ann_ivf_topk(emb, q, k=10, n_centroids=16, nprobe=16)),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_window_queries_are_partitioned(spark):

@@ -230,3 +230,71 @@ def test_ivf_compaction_e2e_and_crash_recovery(spark, tmp_path):
         )
     )
     assert recovered == bf
+
+
+def test_ivf_append_crash_retry_no_duplicates(spark, tmp_path):
+    """A crashed append (delta data written, no _committed.json marker)
+    must be invisible to probes/compaction and must be scrubbed —
+    not double-counted — when the append is retried (r4 ADVICE #1)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from neuscraper_spark.operators.similarity import (
+        _delta_roots,
+        ann_ivf_topk_indexed,
+        append_ivf_index,
+        brute_force_topk,
+        build_ivf_index,
+        compact_ivf_index,
+        queries_from_ids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "ivf_index")
+    build_ivf_index(spark, emb, root, n_centroids=8)
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    new = emb.limit(4).select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"), "embedding", "label"
+    )
+
+    # simulate the crash: a full append whose commit marker never landed
+    append_ivf_index(spark, new, root)
+    g0 = _delta_roots(root)[0]
+    os.unlink(os.path.join(g0, "_committed.json"))
+    assert _delta_roots(root) == []  # uncommitted -> invisible to probes
+
+    # retry lands in the SAME slot (scrub + rewrite), not a new one
+    snap = append_ivf_index(spark, new, root)
+    assert snap["rows_written"] == 4
+    roots = _delta_roots(root)
+    assert [os.path.basename(r) for r in roots] == ["g0"]
+
+    # no duplicates anywhere: probe-all == brute force over the grown
+    # corpus (a double-counted vector would shift ranks/rows)
+    grown = emb.unionByName(new)
+    q = queries_from_ids(new, [max_id + 1])
+    got = sorted(map(tuple, ann_ivf_topk_indexed(spark, root, q, k=5, nprobe=8).collect()))
+    bf = sorted(map(tuple, brute_force_topk(grown, q, k=5).collect()))
+    assert got == bf
+    # and compaction of the recovered index preserves exact row count
+    snap = compact_ivf_index(spark, root)
+    assert snap["rows_written"] == emb.count() + 4
+
+
+def test_ivf_delta_roots_numeric_order(tmp_path):
+    """g10 must sort after g2 (lexicographic listing would interleave
+    them and mis-assign the next generation number)."""
+    import json
+    import os
+
+    from neuscraper_spark.operators.similarity import _delta_roots
+
+    droot = tmp_path / "idx" / "deltas"
+    for g in (0, 1, 2, 10):
+        gdir = droot / f"g{g}"
+        gdir.mkdir(parents=True)
+        (gdir / "_committed.json").write_text(json.dumps({"generation": g}))
+    (droot / "gX").mkdir()  # non-numeric junk is ignored
+    roots = _delta_roots(str(tmp_path / "idx"))
+    assert [os.path.basename(r) for r in roots] == ["g0", "g1", "g2", "g10"]

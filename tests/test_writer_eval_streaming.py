@@ -318,3 +318,55 @@ def test_writer_compaction_crash_rolls_forward(spark, tmp_path):
     assert not os.path.exists(w._compact_marker)
     assert os.path.isdir(pdir) and not os.path.isdir(pdir + ".old")
     assert not os.path.isdir(tmp)
+
+
+def test_writer_compaction_crash_completes_manifest_rewrite(spark, tmp_path):
+    """Crash between the dir swap and the manifest rewrite (r4 ADVICE
+    #2): the marker carries the new manifest payload, so recovery must
+    finish step 4 — lineage.files lists the NEW footers, not the
+    deleted small files."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 60, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("bucket"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(df)
+    before = w.read(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    # crash state for one partition: new files written + swap done +
+    # marker (with manifest payload) present, manifest NOT rewritten
+    p, pdir = sorted(w._data_partitions().items())[0]
+    old_manifest = w.partition_metrics()[p]
+    assert len(old_manifest["lineage"]["files"]) > 1
+    tmp = pdir + ".compact_tmp"
+    spark.read.parquet(pdir).coalesce(1).write.mode("overwrite").parquet(tmp)
+    new_files = []
+    for fn in sorted(os.listdir(tmp)):
+        if fn.endswith(".parquet"):
+            meta = pq.ParquetFile(os.path.join(tmp, fn)).metadata
+            new_files.append({"file": fn, "rows": meta.num_rows})
+    payload = dict(old_manifest)
+    payload["lineage"] = dict(old_manifest["lineage"])
+    payload["lineage"]["files"] = new_files
+    payload["lineage"]["compacted_from_n_files"] = len(
+        old_manifest["lineage"]["files"]
+    )
+    with open(w._compact_marker, "w") as f:
+        json.dump({"pdir": pdir, "partition": p, "manifest": payload}, f)
+    os.rename(pdir, pdir + ".old")
+    os.rename(tmp, pdir)
+
+    after = w.read(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    assert not os.path.exists(w._compact_marker)
+    # the recovered manifest describes the files actually on disk
+    m = w.partition_metrics()[p]
+    on_disk = sorted(fn for fn in os.listdir(pdir) if fn.endswith(".parquet"))
+    assert sorted(f["file"] for f in m["lineage"]["files"]) == on_disk
+    assert m["metrics"]["n_rows"] == old_manifest["metrics"]["n_rows"]
