@@ -88,28 +88,36 @@ def lsh_signatures(
     emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 7,
     tables: int = LSH_TABLES, n_planes: int = LSH_PLANES,
 ) -> DataFrame:
-    """(id, vec, table, bucket): one row per (vector, hash table)."""
+    """(id, table, bucket): one row per (vector, hash table).
+
+    Deliberately vector-free: the signature rows are replicated
+    ``tables``× through the bucket-join shuffle, so shipping the vector
+    here multiplies the exchange payload by the embedding size
+    (24 tables × 128-dim float = ~12 KB/vector at production dims).
+    Consumers generate slim (id, id) candidate pairs from the bucket
+    join, dedup, and only then rejoin the vectors for the exact rerank
+    (tests/test_plans.py pins no vector column in the bucket exchange).
+    """
     planes = _planes(seed, tables=tables, planes=n_planes)
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = (1 << np.arange(n_planes, dtype=np.int64))
         for pdf in batches:
             vecs = np.array([list(v) for v in pdf[vec_col]], dtype=np.float32)
-            out_id, out_vec, out_table, out_bucket = [], [], [], []
+            out_id, out_table, out_bucket = [], [], []
             if len(vecs):
                 for t in range(tables):
                     bits = (vecs @ planes[t].T) > 0  # [n, planes]
                     buckets = (bits.astype(np.int64) * weights).sum(axis=1)
                     out_id.extend(pdf[id_col].tolist())
-                    out_vec.extend(pdf[vec_col].tolist())
                     out_table.extend([t] * len(vecs))
                     out_bucket.extend(buckets.tolist())
             yield pd.DataFrame(
-                {"id": out_id, "vec": out_vec, "table": out_table, "bucket": out_bucket}
+                {"id": out_id, "table": out_table, "bucket": out_bucket}
             )
 
     return emb.select(id_col, vec_col).mapInPandas(
-        sign, schema="id long, vec array<float>, table int, bucket long"
+        sign, schema="id long, table int, bucket long"
     )
 
 
@@ -532,7 +540,13 @@ def ann_lsh_topk(
     ``tables``/``n_planes`` trade candidate volume for recall: fewer
     planes widen buckets (higher recall, bigger scans). The defaults are
     the production ANN setting; the oracle-checked registration uses a
-    coverage setting (see queries.s1_s2_topk)."""
+    coverage setting (see queries.s1_s2_topk).
+
+    Shuffle shape: the bucket join and the (qid, nid) dedup see only
+    slim id rows; vectors are rejoined AFTER dedup — the corpus side by
+    an id equi-join (one row per surviving candidate), the query side
+    broadcast. At production embedding dims this is ~24× less exchange
+    payload than signing (id, vec) rows."""
     corpus_sig = lsh_signatures(emb, vec_col, id_col, seed, tables, n_planes)
     q_sig = lsh_signatures(
         queries.select(F.col("qid").alias(id_col), F.col("qvec").alias(vec_col)),
@@ -541,17 +555,20 @@ def ann_lsh_topk(
         seed,
         tables,
         n_planes,
-    ).withColumnsRenamed({"id": "qid", "vec": "qvec"})
-    cand = (
+    ).withColumnRenamed("id", "qid")
+    pairs = (
         corpus_sig.join(
             F.broadcast(q_sig),
             (corpus_sig["table"] == q_sig["table"])
             & (corpus_sig["bucket"] == q_sig["bucket"])
             & (corpus_sig["id"] != q_sig["qid"]),
         )
-        .select("qid", "qvec", F.col("id").alias("nid"), F.col("vec").alias("nvec"))
+        .select("qid", F.col("id").alias("nid"))
         .dropDuplicates(["qid", "nid"])
     )
+    cand = pairs.join(
+        emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")), "nid"
+    ).join(F.broadcast(queries.select("qid", "qvec")), "qid")
     scored = cand.withColumn(
         "cosine", F.round(_dot("nvec", "qvec") / (_norm("nvec") * _norm("qvec")), 6)
     )

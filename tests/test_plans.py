@@ -90,6 +90,42 @@ def test_ann_plans_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_lsh_bucket_exchange_carries_no_vectors(spark):
+    # The signature rows are replicated LSH_TABLES× through the bucket
+    # join; shipping the embedding there multiplies the shuffle payload
+    # by the vector size (r4 ADVICE). Pin: the signature stage emits no
+    # vector column, and no shuffle Exchange in either LSH consumer
+    # moves one — vectors rejoin only after the slim pair dedup.
+    from neuscraper_spark.operators.dedup import embedding_neardup_lsh
+    from neuscraper_spark.operators.similarity import (
+        ann_lsh_topk,
+        lsh_signatures,
+        queries_from_ids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert set(lsh_signatures(emb).columns) == {"id", "table", "bucket"}
+
+    q = queries_from_ids(emb, range(5))
+    for name, df in (
+        ("lsh_topk", ann_lsh_topk(emb, q, k=10)),
+        ("neardup", embedding_neardup_lsh(emb, threshold=0.9)),
+    ):
+        fmt = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # formatted plan: each node is "(N) <name>" followed by an
+        # "Input [n]: [...]" line; shuffle exchanges must be slim
+        for block in fmt.split("\n\n"):
+            lines = block.strip().splitlines()
+            if not lines or not lines[0].lstrip("() 0123456789").startswith(
+                "Exchange"
+            ):
+                continue
+            inp = next(ln for ln in lines if ln.startswith("Input"))
+            assert "vec" not in inp and "embedding" not in inp, (name, block)
+
+
 def test_window_queries_are_partitioned(spark):
     # no unpartitioned Window.orderBy (single-task global sort) anywhere
     # in the registered window battery
