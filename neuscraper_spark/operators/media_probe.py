@@ -267,3 +267,169 @@ def probe_media(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         run, schema=PROBE_DDL
     )
+
+
+# ------------------------------------------------- deterministic fixtures
+
+def mp3_frame(bitrate_idx: int = 9, kbps: int = 128, sr: int = 44100,
+              padding: int = 0) -> bytes:
+    """One valid MPEG-1 Layer III frame (header + zero payload) — the
+    spec arithmetic from ISO 11172-3: frame_len = 144*kbps*1000/sr."""
+    b2 = (bitrate_idx << 4) | (0 << 2) | (padding << 1)
+    header = bytes([0xFF, 0xFB, b2, 0x00])
+    frame_len = 144 * kbps * 1000 // sr + padding
+    return header + b"\x00" * (frame_len - 4)
+
+
+def fake_mp3(media_id: int) -> bytes:
+    """Deterministic MP3 payload keyed by media_id: odd sequence ids are
+    VBR with an ID3v2 prefix (2 frames @128 + 1..3 @160), even ids CBR
+    at a bitrate cycling 128/160/192/224 with 3..7 frames."""
+    seq = media_id // 6
+    if seq % 2:
+        id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+        return id3 + mp3_frame(9, 128) * 2 + mp3_frame(10, 160) * (1 + seq % 3)
+    idx, kbps = [(9, 128), (10, 160), (11, 192), (12, 224)][seq % 4]
+    return mp3_frame(idx, kbps) * (3 + seq % 5)
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def fake_mp4(media_id: int) -> bytes:
+    """Deterministic single-video-track MP4 keyed by media_id: dims
+    320+16s × 180+9s, movie duration (1200+120s)/600 s, avc1 stsd entry,
+    24+s samples (s = media_id // 6). Hand-assembled from ISO 14496-12
+    box layouts — no muxer library."""
+    seq = media_id // 6
+    width, height = 320 + 16 * seq, 180 + 9 * seq
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"mp42")
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 600, 1200 + 120 * seq) + b"\x00" * 80,
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 72
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _mp4_box(
+        b"mdhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 12288, 24576) + b"\x00" * 4,
+    )
+    hdlr = _mp4_box(b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide" + b"\x00" * 12)
+    avc1 = struct.pack(">I", 16) + b"avc1" + b"\x00" * 8
+    stsd = _mp4_box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + avc1)
+    stsz = _mp4_box(b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", 0, 24 + seq))
+    stbl = _mp4_box(b"stbl", stsd + stsz)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    mdat = _mp4_box(b"mdat", b"\x00" * 32)
+    return ftyp + moov + mdat
+
+
+def inventory_fixture(spark, n: int = 48, partitions: int = 4) -> DataFrame:
+    """Deterministic all-format media table: media_id % 6 rotates
+    BMP / PNG / JPEG / WAV / MP3 / MP4, each blob fully derived from
+    media_id — the driver-checked m1_media_inventory query decodes it
+    back and compares against the frozen expected-metadata oracle."""
+    from .multimodal import MEDIA_DDL, _fake_bmp, _fake_jpeg, _fake_png, _fake_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        makers = [
+            ("image", _fake_bmp), ("image", _fake_png), ("image", _fake_jpeg),
+            ("audio", _fake_wav), ("audio", fake_mp3), ("video", fake_mp4),
+        ]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind, maker = makers[i % 6]
+                rows.append({
+                    "media_id": i, "kind": kind, "payload": maker(i),
+                    "meta": {"width": 0, "height": 0, "n_frames": 0,
+                             "sample_rate": 0},
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_DDL)
+
+
+# --------------------------------------------------------- inventory stage
+
+INVENTORY_DDL = (
+    "media_id long, fmt string, width int, height int, sample_rate int, "
+    "duration_sec double, bitrate_kbps int, codec string, err string"
+)
+
+
+def _inventory_row(payload: bytes) -> dict:
+    """Magic-byte dispatch: REAL decode for BMP/PNG/JPEG (dims) and WAV
+    (rate + duration), container probe for MP3/MP4. Pure function so the
+    Spark stage and tests share it."""
+    from .multimodal import _PNG_SIG, decode_bmp, decode_png, decode_wav
+    from .jpeg import decode_jpeg
+
+    out = {"fmt": None, "width": None, "height": None, "sample_rate": None,
+           "duration_sec": None, "bitrate_kbps": None, "codec": None,
+           "err": None}
+    if payload[:2] == b"BM":
+        px = decode_bmp(payload)
+        out.update(fmt="bmp", height=px.shape[0], width=px.shape[1])
+    elif payload[: len(_PNG_SIG)] == _PNG_SIG:
+        px = decode_png(payload)
+        out.update(fmt="png", height=px.shape[0], width=px.shape[1])
+    elif payload[:2] == b"\xff\xd8":
+        px = decode_jpeg(payload)
+        out.update(fmt="jpeg", height=px.shape[0], width=px.shape[1])
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, sr = decode_wav(payload)
+        out.update(fmt="wav", sample_rate=sr,
+                   duration_sec=round(samples.shape[0] / sr, 4))
+    elif payload[:3] == b"ID3" or (
+        len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        m = probe_mp3(payload)
+        out.update(fmt="mp3", sample_rate=m["sample_rate"],
+                   duration_sec=m["duration_sec"],
+                   bitrate_kbps=m["bitrate_kbps"])
+    elif len(payload) >= 12 and payload[4:8] == b"ftyp":
+        m = probe_mp4(payload)
+        vid = next((t for t in m["tracks"] if t["kind"] == "video"), None)
+        out.update(fmt="mp4", duration_sec=m["duration_sec"],
+                   codec=vid["codec"] if vid else None,
+                   width=vid["width"] if vid else None,
+                   height=vid["height"] if vid else None)
+    else:
+        out["err"] = "unrecognized container"
+    return out
+
+
+def media_inventory(media: DataFrame) -> DataFrame:
+    """One Arrow-batched pass over a media table that turns every blob
+    into the metadata row a curation filter needs (format, dims, rate,
+    duration, codec) — real from-scratch decode where we have the codec,
+    container probe where we honestly don't. Per-row fail-soft: a
+    corrupt blob carries err, never kills the task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {"media_id": int(media_id), "fmt": None, "width": None,
+                       "height": None, "sample_rate": None,
+                       "duration_sec": None, "bitrate_kbps": None,
+                       "codec": None, "err": None}
+                try:
+                    row.update(_inventory_row(bytes(payload)))
+                except Exception as e:  # noqa: BLE001 — per-row fail-soft
+                    row["err"] = f"{type(e).__name__}: {e}"[:200]
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=INVENTORY_DDL)

@@ -694,6 +694,78 @@ def c8_to_json(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# M — multimodal media inventory (real decoders + container probes)
+# ---------------------------------------------------------------------------
+
+# The oracle is the FROZEN expected-metadata table for the deterministic
+# 48-blob fixture (media_probe.inventory_fixture): every value below is
+# derived from the fixture arithmetic (dims formulas, frame counts,
+# ISO 11172-3 frame duration, ISO 14496-12 mvhd duration) and
+# spot-verified by hand — regenerate with the same derivation if the
+# fixture changes. The Spark side re-decodes the blobs from scratch
+# (BMP/PNG/JPEG/WAV decoders, MP3/MP4 probes), so a regression in any
+# codec or in the Arrow plumbing flips the hash.
+_MEDIA_INVENTORY_ORACLE = """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'bmp', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(1 AS BIGINT), 'png', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(2 AS BIGINT), 'jpeg', CAST(40 AS INTEGER), CAST(16 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(3 AS BIGINT), 'wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(16000 AS INTEGER), 0.1, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(4 AS BIGINT), 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(44100 AS INTEGER), 0.0784, CAST(128 AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(5 AS BIGINT), 'mp4', CAST(320 AS INTEGER), CAST(180 AS INTEGER), CAST(NULL AS INTEGER), 2.0, CAST(NULL AS INTEGER), 'avc1', CAST(NULL AS VARCHAR)),
+  (CAST(6 AS BIGINT), 'bmp', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(7 AS BIGINT), 'png', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(8 AS BIGINT), 'jpeg', CAST(40 AS INTEGER), CAST(16 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(9 AS BIGINT), 'wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(16000 AS INTEGER), 0.1, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(10 AS BIGINT), 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(44100 AS INTEGER), 0.1045, CAST(128 AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(11 AS BIGINT), 'mp4', CAST(336 AS INTEGER), CAST(189 AS INTEGER), CAST(NULL AS INTEGER), 2.2, CAST(NULL AS INTEGER), 'avc1', CAST(NULL AS VARCHAR)),
+  (CAST(12 AS BIGINT), 'bmp', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(13 AS BIGINT), 'png', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(14 AS BIGINT), 'jpeg', CAST(40 AS INTEGER), CAST(16 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(15 AS BIGINT), 'wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(16000 AS INTEGER), 0.1, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(16 AS BIGINT), 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(44100 AS INTEGER), 0.1306, CAST(192 AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(17 AS BIGINT), 'mp4', CAST(352 AS INTEGER), CAST(198 AS INTEGER), CAST(NULL AS INTEGER), 2.4, CAST(NULL AS INTEGER), 'avc1', CAST(NULL AS VARCHAR)),
+  (CAST(18 AS BIGINT), 'bmp', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(19 AS BIGINT), 'png', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(20 AS BIGINT), 'jpeg', CAST(40 AS INTEGER), CAST(16 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(21 AS BIGINT), 'wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(16000 AS INTEGER), 0.1, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(22 AS BIGINT), 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(44100 AS INTEGER), 0.0784, CAST(128 AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(23 AS BIGINT), 'mp4', CAST(368 AS INTEGER), CAST(207 AS INTEGER), CAST(NULL AS INTEGER), 2.6, CAST(NULL AS INTEGER), 'avc1', CAST(NULL AS VARCHAR)),
+  (CAST(24 AS BIGINT), 'bmp', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(25 AS BIGINT), 'png', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(26 AS BIGINT), 'jpeg', CAST(40 AS INTEGER), CAST(16 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(27 AS BIGINT), 'wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(16000 AS INTEGER), 0.1, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(28 AS BIGINT), 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(44100 AS INTEGER), 0.1829, CAST(128 AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(29 AS BIGINT), 'mp4', CAST(384 AS INTEGER), CAST(216 AS INTEGER), CAST(NULL AS INTEGER), 2.8, CAST(NULL AS INTEGER), 'avc1', CAST(NULL AS VARCHAR)),
+  (CAST(30 AS BIGINT), 'bmp', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(31 AS BIGINT), 'png', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(32 AS BIGINT), 'jpeg', CAST(40 AS INTEGER), CAST(16 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(33 AS BIGINT), 'wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(16000 AS INTEGER), 0.1, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(34 AS BIGINT), 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(44100 AS INTEGER), 0.1306, CAST(160 AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(35 AS BIGINT), 'mp4', CAST(400 AS INTEGER), CAST(225 AS INTEGER), CAST(NULL AS INTEGER), 3.0, CAST(NULL AS INTEGER), 'avc1', CAST(NULL AS VARCHAR)),
+  (CAST(36 AS BIGINT), 'bmp', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(37 AS BIGINT), 'png', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(38 AS BIGINT), 'jpeg', CAST(40 AS INTEGER), CAST(16 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(39 AS BIGINT), 'wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(16000 AS INTEGER), 0.1, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(40 AS BIGINT), 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(44100 AS INTEGER), 0.1045, CAST(192 AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(41 AS BIGINT), 'mp4', CAST(416 AS INTEGER), CAST(234 AS INTEGER), CAST(NULL AS INTEGER), 3.2, CAST(NULL AS INTEGER), 'avc1', CAST(NULL AS VARCHAR)),
+  (CAST(42 AS BIGINT), 'bmp', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(43 AS BIGINT), 'png', CAST(32 AS INTEGER), CAST(24 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(44 AS BIGINT), 'jpeg', CAST(40 AS INTEGER), CAST(16 AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(45 AS BIGINT), 'wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(16000 AS INTEGER), 0.1, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(46 AS BIGINT), 'mp3', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(44100 AS INTEGER), 0.1045, CAST(128 AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (CAST(47 AS BIGINT), 'mp4', CAST(432 AS INTEGER), CAST(243 AS INTEGER), CAST(NULL AS INTEGER), 3.4, CAST(NULL AS INTEGER), 'avc1', CAST(NULL AS VARCHAR))
+) AS t(media_id, fmt, width, height, sample_rate, duration_sec, bitrate_kbps, codec, err)"""
+
+
+@query("m1_media_inventory", _MEDIA_INVENTORY_ORACLE)
+def m1_media_inventory(spark, sf_dir):
+    from .operators.media_probe import inventory_fixture, media_inventory
+
+    return media_inventory(inventory_fixture(spark, n=48))
+
+
+
 @query("s5_encoded_inference", None)  # model-driven scoring -> rows-only;
 # round-trip equality vs the main pipeline is pinned by
 # tests/test_chunks_encoding.py::test_encoded_chunk_roundtrip_scores_match_pipeline

@@ -115,3 +115,44 @@ def test_probe_media_spark_stage(spark):
     # fail-soft: the bad row carries an error, doesn't kill the task
     assert out.loc[3, "probe_err"] == "unrecognized container"
     assert out.loc[3, "container"] is None or pd.isna(out.loc[3, "container"])
+
+
+def test_media_inventory_all_formats(spark):
+    """media_inventory dispatches every codec we own: real decode for
+    BMP/PNG/JPEG/WAV, container probe for MP3/MP4; corrupt blobs
+    fail-soft with err."""
+    import pandas as pd
+
+    from neuscraper_spark.operators.media_probe import (
+        fake_mp3,
+        fake_mp4,
+        inventory_fixture,
+        media_inventory,
+    )
+    from neuscraper_spark.operators.multimodal import MEDIA_DDL
+
+    inv = media_inventory(inventory_fixture(spark, n=12)).toPandas()
+    inv = inv.set_index("media_id").sort_index()
+    assert inv["fmt"].tolist() == ["bmp", "png", "jpeg", "wav", "mp3", "mp4"] * 2
+    assert inv["err"].isna().all()
+    assert (inv.loc[0, "width"], inv.loc[0, "height"]) == (32, 24)
+    assert inv.loc[3, "duration_sec"] == 0.1 and inv.loc[3, "sample_rate"] == 16000
+    assert inv.loc[4, "bitrate_kbps"] == 128
+    assert inv.loc[5, "codec"] == "avc1" and inv.loc[5, "width"] == 320
+    # seq 1 variants: VBR mp3, scaled mp4
+    assert inv.loc[10, "duration_sec"] == 0.1045
+    assert (inv.loc[11, "width"], inv.loc[11, "height"]) == (336, 189)
+
+    bad = spark.createDataFrame(
+        pd.DataFrame([{"media_id": 99, "kind": "video",
+                       "payload": fake_mp4(0)[:40] + b"\x00" * 4,
+                       "meta": {"width": 0, "height": 0, "n_frames": 0,
+                                "sample_rate": 0}},
+                      {"media_id": 100, "kind": "audio",
+                       "payload": fake_mp3(0)[:3],
+                       "meta": {"width": 0, "height": 0, "n_frames": 0,
+                                "sample_rate": 0}}]),
+        schema=MEDIA_DDL,
+    )
+    out = media_inventory(bad).toPandas().set_index("media_id")
+    assert out["err"].notna().all()
