@@ -2,25 +2,35 @@
 10918-1), stdlib + numpy only — no codec library ships in this
 container.
 
-Decoder (`decode_jpeg`): baseline sequential DCT (SOF0), 8-bit, 1 or 3
-components, arbitrary sampling factors up to 2x2 (4:4:4 / 4:2:2 /
-4:2:0), restart markers, 0xFF00 byte stuffing. Huffman tables are
-built FROM THE FILE'S OWN DHT segments (spec-driven — decoding a
-real-world JPEG validates the marker walk, canonical-code
-construction, MCU layout, dequant, IDCT and color convert against the
-public format, independent of this module's encoder constants).
-Progressive (SOF2), arithmetic coding, 12-bit precision and 16-bit
-quant tables raise — honest gaps, not misdecodes.
+Decoder (`decode_jpeg`): baseline sequential DCT (SOF0/1) AND
+progressive DCT (SOF2 — spectral selection x successive approximation,
+T.81 Annex G: DC first/refine, AC first with EOBn runs, AC refinement
+with correction bits), 8-bit, 1 or 3 components, arbitrary sampling
+factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, 0xFF00
+byte stuffing. Huffman tables are built FROM THE FILE'S OWN DHT
+segments (spec-driven — decoding a real-world JPEG validates the
+marker walk, canonical-code construction, MCU layout, scan scripts,
+dequant, IDCT and color convert against the public format, independent
+of this module's encoder constants). Arithmetic coding, hierarchical /
+lossless modes, 12-bit precision and 16-bit quant tables raise —
+honest gaps, not misdecodes.
 
 Encoder (`encode_jpeg`): gray or RGB 4:4:4 with the Annex K standard
 quantization + huffman tables, quality scaling per the public IJG
-formula. Exists for round-trip tests and synthetic fixtures; JPEG is
-lossy, so round-trip assertions are PSNR bounds, not equality.
+formula; `progressive=True` emits a spectral-selection +
+DC-successive-approximation scan script carrying the SAME quantized
+coefficients as the baseline stream, so progressive decode must
+pixel-match baseline decode exactly (pinned by test). JPEG is lossy,
+so round-trip-to-pixels assertions are PSNR bounds, not equality.
 
-Entropy decode is a per-bit Python loop — correctness-first; fine for
-the test-scale images the multimodal plumbing decodes, and the honest
-swap-in point for a vectorized/library path in production (the Spark
-side only ever calls this inside Arrow-batched stages).
+The baseline entropy hot loop is per-SYMBOL, not per-bit: restart
+segments are pre-unstuffed in one vectorized pass (_split_entropy), an
+extended 2^16 LUT resolves huffman code + magnitude bits + EXTEND in a
+single native-int index for the common case, the bit accumulator
+refills 48 bits at a time, and coefficients scatter into the numpy
+store once per scan. Still Python — the honest swap-in point for a
+native path in production (the Spark side only ever calls this inside
+Arrow-batched fail-soft stages).
 """
 
 from __future__ import annotations
@@ -128,107 +138,92 @@ def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int
     return table
 
 
-def _build_decode_lut(bits: list[int], vals: list[int]) -> np.ndarray:
+def _build_decode_lut(bits: list[int], vals: list[int]) -> list[int]:
     """Flat 2^16 lookup table: entry[peeked 16 bits] = (code_length <<
-    8) | symbol, 0 = invalid prefix. One array index replaces the
-    bit-by-bit tree walk (the classic fast-huffman construction: every
-    16-bit word starting with an L-bit code maps to that code)."""
+    8) | symbol, 0 = invalid prefix. One index replaces the bit-by-bit
+    tree walk (the classic fast-huffman construction: every 16-bit word
+    starting with an L-bit code maps to that code). Returned as a plain
+    Python list — the entropy loop indexes it with native ints, avoiding
+    a numpy scalar box per symbol."""
     lut = np.zeros(1 << 16, dtype=np.int32)
     for (length, code), sym in _build_decode_table(bits, vals).items():
         start = code << (16 - length)
         lut[start : start + (1 << (16 - length))] = (length << 8) | sym
-    return lut
+    return lut.tolist()
+
+
+def _build_fast_lut(bits: list[int], vals: list[int], dc: bool) -> list[int]:
+    """Extended 2^16 LUT for the baseline hot loop: when the huffman
+    code AND its magnitude bits fit the 16-bit peek (the overwhelmingly
+    common case), one lookup yields the fully EXTENDed coefficient —
+    entry = (total_bits << 21) | (run << 17) | (value + 65536). A zero
+    value field marks EOB/ZRL (AC codes with size 0); negative entries
+    -((code_len << 8) | symbol) defer rare too-long code+magnitude pairs
+    to a slow path; 0 = invalid prefix. Construction is vectorized per
+    code (one arange over the entry span)."""
+    lut = np.zeros(1 << 16, dtype=np.int64)
+    for (ln, code), sym in _build_decode_table(bits, vals).items():
+        start = code << (16 - ln)
+        width = 1 << (16 - ln)
+        t = sym if dc else sym & 0xF
+        r = 0 if dc else sym >> 4
+        if t == 0:
+            entry = (ln << 21) | (65536 if dc else r << 17)
+            lut[start : start + width] = entry
+        elif ln + t <= 16:
+            mag = (np.arange(width, dtype=np.int64) >> (16 - ln - t)) & (
+                (1 << t) - 1
+            )
+            val = np.where(mag >= 1 << (t - 1), mag, mag - (1 << t) + 1)
+            lut[start : start + width] = (
+                ((ln + t) << 21) | (r << 17) | (val + 65536)
+            )
+        else:
+            lut[start : start + width] = -((ln << 8) | sym)
+    return lut.tolist()
+
+
+_LUT_CACHE: dict[tuple, list[int]] = {}
+
+
+class _HuffTable:
+    """One DHT table, with its decode LUTs built lazily: the baseline
+    hot path wants the extended coefficient LUT, the progressive
+    decoders the (length, symbol) one — a file only pays for the
+    variants its scans actually use. LUTs are cached module-wide keyed
+    by the table spec: a corpus of images sharing the standard Annex K
+    tables (the overwhelmingly common case) builds each 2^16 LUT once
+    per executor, not once per image."""
+
+    __slots__ = ("bits", "vals", "_key")
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.bits = bits
+        self.vals = vals
+        self._key = (bytes(bits), bytes(vals))
+
+    def plain(self) -> list[int]:
+        k = (*self._key, "plain")
+        lut = _LUT_CACHE.get(k)
+        if lut is None:
+            if len(_LUT_CACHE) >= 64:  # bound memory under adversarial DHTs
+                _LUT_CACHE.clear()
+            lut = _LUT_CACHE[k] = _build_decode_lut(self.bits, self.vals)
+        return lut
+
+    def fast(self, dc: bool) -> list[int]:
+        k = (*self._key, dc)
+        lut = _LUT_CACHE.get(k)
+        if lut is None:
+            if len(_LUT_CACHE) >= 64:
+                _LUT_CACHE.clear()
+            lut = _LUT_CACHE[k] = _build_fast_lut(self.bits, self.vals, dc)
+        return lut
 
 
 def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """{symbol -> (code, length)} from the same canonical construction."""
     return {v: (c, l) for (l, c), v in _build_decode_table(bits, vals).items()}
-
-
-# ------------------------------------------------------------- bit reader
-
-
-class _BitReader:
-    """Buffered MSB-first reader over entropy-coded data with 0xFF00
-    unstuffing (T.81 F.2.2.5). Fills whole bytes into an accumulator
-    and stops (without consuming) at any marker; `peek16` pads with
-    1-bits past the stream end — T.81's padding convention — so the
-    LUT lookahead on the final code of a scan/restart-chunk is safe."""
-
-    __slots__ = ("data", "pos", "acc", "n", "stopped")
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
-        self.stopped = None  # None | ("rst", code) | ("marker", code)
-
-    def _fill_byte(self) -> bool:
-        if self.stopped is not None or self.pos >= len(self.data):
-            return False
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
-            if nxt == 0x00:
-                self.pos += 2  # stuffed data byte
-            elif 0xD0 <= nxt <= 0xD7:
-                self.stopped = ("rst", nxt)
-                return False
-            else:
-                self.stopped = ("marker", nxt)
-                return False
-        else:
-            self.pos += 1
-        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
-        self.n += 8
-        return True
-
-    def peek16(self) -> int:
-        while self.n < 16 and self._fill_byte():
-            pass
-        if self.n >= 16:
-            return (self.acc >> (self.n - 16)) & 0xFFFF
-        cur = self.acc & ((1 << self.n) - 1) if self.n else 0
-        pad = 16 - self.n
-        return ((cur << pad) | ((1 << pad) - 1)) & 0xFFFF
-
-    def read_bits(self, count: int) -> int:
-        if count == 0:
-            return 0
-        while self.n < count and self._fill_byte():
-            pass
-        if self.n < count:
-            if self.stopped and self.stopped[0] == "rst":
-                raise _RestartMarker(self.stopped[1])
-            raise ValueError("entropy data exhausted mid-symbol")
-        self.n -= count
-        return (self.acc >> self.n) & ((1 << count) - 1)
-
-    def sync_to_marker(self) -> None:
-        """Drop partial-byte padding and consume an expected RST."""
-        self.acc = 0
-        self.n = 0
-        self.stopped = None
-        while self.pos + 1 < len(self.data) and (
-            self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00
-        ):
-            self.pos += 1
-        if self.pos + 1 < len(self.data) and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
-            self.pos += 2
-
-
-class _RestartMarker(Exception):
-    def __init__(self, code: int):
-        self.code = code
-
-
-def _decode_huffman(br: _BitReader, lut: np.ndarray) -> int:
-    entry = int(lut[br.peek16()])
-    if entry == 0:
-        raise ValueError("invalid huffman code in entropy data")
-    br.read_bits(entry >> 8)  # consume the code's real bits
-    return entry & 0xFF
 
 
 def _extend(v: int, t: int) -> int:
@@ -238,21 +233,118 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+# ------------------------------------------------------- entropy segments
+
+_MSK = [(1 << i) - 1 for i in range(80)]
+
+
+def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Slice the entropy-coded stream starting at ``pos`` into restart
+    segments with 0xFF00 byte stuffing removed — one vectorized numpy
+    pass over the 0xFF positions instead of a per-byte python check in
+    the bit reader (the r4 per-bit-loop hotspot). Returns (segments,
+    end_pos): end_pos is the offset of the 0xFF opening the first
+    non-RST marker (or len(data) when the stream just ends)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ffs = (np.nonzero(arr[pos:] == 0xFF)[0] + pos).tolist()
+    segments: list[bytes] = []
+    cuts: list[int] = []  # positions of stuffed 0x00 bytes in the segment
+    seg_start = pos
+    end_pos = len(data)
+
+    def cut(a: int, b: int) -> bytes:
+        if not cuts:
+            return data[a:b]
+        keep = np.ones(b - a, dtype=bool)
+        keep[np.asarray(cuts, dtype=np.int64) - a] = False
+        return arr[a:b][keep].tobytes()
+
+    for f in ffs:
+        nxt = data[f + 1] if f + 1 < len(data) else 0xD9
+        if nxt == 0x00:
+            cuts.append(f + 1)
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(cut(seg_start, f))
+            cuts.clear()
+            seg_start = f + 2
+        else:
+            end_pos = f
+            break
+    segments.append(cut(seg_start, min(end_pos, len(data))))
+    return segments, end_pos
+
+
+class _SegReader:
+    """Bit reader over one pre-unstuffed restart segment (stuffing and
+    markers already removed by _split_entropy). Peeks pad with 1-bits —
+    T.81's padding convention — but consuming past the real data raises,
+    so truncation is still loud. Used by the progressive scan decoders;
+    the baseline hot path inlines the same accumulator logic."""
+
+    __slots__ = ("seg", "L", "acc", "nb", "bp", "pad")
+
+    def __init__(self, seg: bytes):
+        self.seg = seg
+        self.L = len(seg)
+        self.acc = 0
+        self.nb = 0
+        self.bp = 0
+        self.pad = 0
+
+    def _refill(self, want: int) -> None:
+        seg = self.seg
+        while self.nb < want:
+            if self.bp < self.L:
+                self.acc = (self.acc << 8) | seg[self.bp]
+                self.bp += 1
+            else:
+                self.acc = (self.acc << 8) | 0xFF
+                self.pad += 8
+            self.nb += 8
+
+    def read_bits(self, count: int) -> int:
+        if count == 0:
+            return 0
+        if self.nb < count:
+            self._refill(count)
+        if count > self.nb - self.pad:
+            raise ValueError("entropy data exhausted mid-symbol")
+        self.nb -= count
+        v = (self.acc >> self.nb) & _MSK[count]
+        self.acc &= _MSK[self.nb]
+        return v
+
+    def huff(self, lut: list[int]) -> int:
+        if self.nb < 16:
+            self._refill(16)
+        entry = lut[(self.acc >> (self.nb - 16)) & 0xFFFF]
+        if entry == 0:
+            raise ValueError("invalid huffman code in entropy data")
+        length = entry >> 8
+        if length > self.nb - self.pad:
+            raise ValueError("entropy data exhausted mid-symbol")
+        self.nb -= length
+        self.acc &= _MSK[self.nb]
+        return entry & 0xFF
+
+
 # --------------------------------------------------------------- decoder
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 pixel array ([h, w] gray or [h, w, 3]
-    RGB). See module docstring for the supported envelope."""
+    """Baseline or progressive JPEG -> uint8 pixel array ([h, w] gray or
+    [h, w, 3] RGB). See module docstring for the supported envelope."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
     quant: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, dict] = {}
-    huff_ac: dict[int, dict] = {}
+    huff_dc: dict[int, list] = {}
+    huff_ac: dict[int, list] = {}
     frame = None  # (h, w, [(comp_id, hs, vs, tq)])
+    progressive = False
     restart_interval = 0
-    out_planes: dict[int, np.ndarray] | None = None
+    geom = None
+    cf: dict[int, np.ndarray] | None = None  # flat zigzag-order coeffs per comp
 
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -282,10 +374,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[b + 1 : b + 17])
                 n = sum(bits)
                 vals = list(body[b + 17 : b + 17 + n])
-                lut = _build_decode_lut(bits, vals)
-                (huff_dc if tc == 0 else huff_ac)[th] = lut
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
                 b += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline-compatible
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -296,10 +387,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG not supported")
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+            geom = _geometry(frame)
+            cf = {
+                cid: np.zeros(geom.bh[cid] * geom.bw[cid] * 64, dtype=np.int64)
+                for cid, *_ in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG supported (SOF marker C{marker & 0xF:X})"
+                f"only baseline/progressive DCT JPEG supported (SOF marker C{marker & 0xF:X})"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -311,10 +408,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tables = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cs, tables >> 4, tables & 0xF))
-            out_planes, pos = _decode_scan(
-                payload, pos + 2 + seg_len, frame, scan, quant,
-                huff_dc, huff_ac, restart_interval,
-            )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            segments, pos = _split_entropy(payload, pos + 2 + seg_len)
+            if progressive:
+                _decode_scan_progressive(
+                    segments, frame, geom, scan, huff_dc, huff_ac,
+                    restart_interval, cf, ss, se, ah, al,
+                )
+            else:
+                _decode_scan_baseline(
+                    segments, frame, geom, scan, huff_dc, huff_ac,
+                    restart_interval, cf,
+                )
             # tolerate pad bytes between entropy data and the next marker
             while pos + 1 < len(payload) and (
                 payload[pos] != 0xFF or payload[pos + 1] == 0x00
@@ -324,13 +431,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # APPn / COM / others: skip
         pos += 2 + seg_len
 
-    if frame is None or out_planes is None:
+    if frame is None or cf is None:
         raise ValueError("JPEG missing SOF/SOS")
+    out_planes = _reconstruct(frame, geom, quant, cf)
     h, w, comps = frame
     if len(comps) == 1:
         return out_planes[comps[0][0]][:h, :w].astype(np.uint8)
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
+    hmax, vmax = geom.hmax, geom.vmax
     planes = []
     for cid, hs, vs, _ in comps:
         p = out_planes[cid]
@@ -346,86 +453,385 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, restart_interval):
+class _Geom:
+    """Frame geometry: MCU grid plus each component's MCU-padded block
+    array dims (bh x bw). Coefficients are stored per component as a
+    flat zigzag-order list indexed (block_y * bw + block_x) * 64 + k, so
+    interleaved and non-interleaved scans address the same storage."""
+
+    __slots__ = ("hmax", "vmax", "mcux", "mcuy", "bw", "bh")
+
+    def __init__(self, hmax, vmax, mcux, mcuy, bw, bh):
+        self.hmax, self.vmax = hmax, vmax
+        self.mcux, self.mcuy = mcux, mcuy
+        self.bw, self.bh = bw, bh
+
+
+def _geometry(frame) -> _Geom:
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    scan_by_cid = {cs: (td, ta) for cs, td, ta in scan}
-    planes = {
-        cid: np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
-        for cid, hs, vs, _ in comps
-    }
-    pred = {cid: 0 for cid, *_ in comps}
-    # entropy-decode the whole scan into per-component coefficient
-    # stacks, then run ONE batched dequant + IDCT per component (an
-    # einsum over [n_blocks, 8, 8]) instead of two 8x8 matmuls per
-    # block from inside the python loop
-    coeffs: dict[int, list] = {cid: [] for cid, *_ in comps}
-    spots: dict[int, list] = {cid: [] for cid, *_ in comps}
-    br = _BitReader(data, pos)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.sync_to_marker()
-                pred = {cid: 0 for cid, *_ in comps}
-            try:
-                for cid, hs, vs, tq in comps:
-                    td, ta = scan_by_cid[cid]
-                    for by in range(vs):
-                        for bx in range(hs):
-                            coeffs[cid].append(
-                                _decode_block_coeffs(
-                                    br, huff_dc[td], huff_ac[ta], pred, cid
-                                )
-                            )
-                            spots[cid].append(
-                                ((my * vs + by) * 8, (mx * hs + bx) * 8)
-                            )
-            except _RestartMarker:
-                raise ValueError("restart marker landed mid-MCU") from None
-            mcu_count += 1
-    for cid, hs, vs, tq in comps:
-        if not coeffs[cid]:
-            continue
-        stack = np.stack(coeffs[cid]).astype(np.float64) * quant[tq][None, :, :]
-        blocks = np.einsum("ij,njk,kl->nil", _D.T, stack, _D)
-        plane = planes[cid]
-        for (y0, x0), blk in zip(spots[cid], blocks):
-            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
-    return (
-        {cid: np.clip(np.round(p + 128.0), 0, 255) for cid, p in planes.items()},
-        br.pos,
-    )
+    bw = {cid: mcux * hs for cid, hs, vs, _ in comps}
+    bh = {cid: mcuy * vs for cid, hs, vs, _ in comps}
+    return _Geom(hmax, vmax, mcux, mcuy, bw, bh)
 
 
-def _decode_block_coeffs(br, dc_table, ac_table, pred, cid) -> np.ndarray:
-    """Entropy-decode one block -> natural-order [8, 8] int coefficients
-    (dequant + IDCT happen batched per scan)."""
-    zz = np.zeros(64, dtype=np.int64)
-    t = _decode_huffman(br, dc_table)
-    diff = _extend(br.read_bits(t), t)
-    pred[cid] += diff
-    zz[0] = pred[cid]
-    k = 1
-    while k < 64:
-        rs = _decode_huffman(br, ac_table)
-        r, s = rs >> 4, rs & 0xF
-        if s == 0:
-            if r == 15:  # ZRL: 16 zeros
-                k += 16
+def _scan_order(frame, geom: _Geom, scan_cids: list[int]) -> tuple[list, int]:
+    """Block traversal for a scan (T.81 A.2): an interleaved scan walks
+    MCUs (hs x vs blocks per component); a single-component scan walks
+    that component's own ceil(size/8) grid in raster order — NOT the
+    MCU-padded grid. Returns (pairs, unit_len): a flat decode-order list
+    of (cid, flat_coeff_base) built vectorized (numpy index arithmetic +
+    one zip — no per-block python loop), with unit_len blocks per MCU so
+    one restart interval spans restart_interval * unit_len pairs."""
+    h, w, comps = frame
+    by_cid = {cid: (hs, vs) for cid, hs, vs, _ in comps}
+    if len(scan_cids) > 1:
+        per_comp = []
+        cid_unit: list[int] = []
+        for cid in scan_cids:
+            hs, vs = by_cid[cid]
+            bw = geom.bw[cid]
+            my = np.arange(geom.mcuy)[:, None, None, None]
+            mx = np.arange(geom.mcux)[None, :, None, None]
+            by = np.arange(vs)[None, None, :, None]
+            bx = np.arange(hs)[None, None, None, :]
+            bases = ((my * vs + by) * bw + mx * hs + bx) * 64
+            per_comp.append(bases.reshape(geom.mcuy * geom.mcux, vs * hs))
+            cid_unit += [cid] * (vs * hs)
+        flat = np.concatenate(per_comp, axis=1).reshape(-1).tolist()
+        cids = cid_unit * (geom.mcuy * geom.mcux)
+        return list(zip(cids, flat)), len(cid_unit)
+    cid = scan_cids[0]
+    hs, vs = by_cid[cid]
+    cw = (-(-w * hs // geom.hmax) + 7) // 8  # ceil(ceil(w*hs/hmax)/8)
+    ch = (-(-h * vs // geom.vmax) + 7) // 8
+    bases = (
+        (np.arange(ch)[:, None] * geom.bw[cid] + np.arange(cw)[None, :]) * 64
+    ).reshape(-1).tolist()
+    return [(cid, b) for b in bases], 1
+
+
+def _decode_scan_baseline(segments, frame, geom, scan, huff_dc, huff_ac,
+                          restart_interval, cf):
+    """Sequential-DCT scan: all 64 coefficients per block. This loop
+    decodes every entropy symbol of the image, so per-symbol cost is
+    everything: the extended LUT (_build_fast_lut) resolves code +
+    magnitude + EXTEND in ONE native-int index for codes whose total
+    bits fit the 16-bit peek, the bit accumulator is inlined over the
+    pre-unstuffed segment, and coefficients accumulate as sparse
+    (index, value) lists scattered into the numpy store once per scan."""
+    scan_cids = [cs for cs, _, _ in scan]
+    tabs = {}
+    for cs, td, ta in scan:
+        tabs[cs] = (huff_dc[td].fast(dc=True), huff_ac[ta].fast(dc=False))
+    pairs, unit_len = _scan_order(frame, geom, scan_cids)
+    n_units = len(pairs) // unit_len
+    ri = (restart_interval or n_units) * unit_len
+    sinks = {cid: ([], []) for cid in scan_cids}
+    for ci, start in enumerate(range(0, len(pairs), ri)):
+        seg = segments[ci] if ci < len(segments) else b""
+        L = len(seg)
+        acc = nb = bp = pad = 0
+        pred = dict.fromkeys(scan_cids, 0)
+        for cid, base in pairs[start : start + ri]:
+            dcl, acl = tabs[cid]
+            ilist, vlist = sinks[cid]
+            # ---- DC coefficient
+            if nb < 16:
+                if bp + 6 <= L:  # bulk refill: 48 bits in one call
+                    acc = (acc << 48) | int.from_bytes(seg[bp : bp + 6], "big")
+                    bp += 6
+                    nb += 48
+                else:
+                    while nb < 48:
+                        if bp < L:
+                            acc = (acc << 8) | seg[bp]
+                            bp += 1
+                        else:
+                            acc = (acc << 8) | 0xFF
+                            pad += 8
+                        nb += 8
+            e = dcl[acc >> (nb - 16)]
+            if e > 0:
+                tl = e >> 21
+                if tl > nb - pad:
+                    raise ValueError("entropy data exhausted mid-symbol")
+                nb -= tl
+                acc &= _MSK[nb]
+                dc = pred[cid] + (e & 0x1FFFF) - 65536
+            elif e == 0:
+                raise ValueError("invalid huffman code in entropy data")
+            else:  # code + magnitude wider than the 16-bit peek
+                ln = (-e) >> 8
+                t = (-e) & 0xFF
+                want = ln + t
+                if nb < want:
+                    if bp + 6 <= L:
+                        acc = (acc << 48) | int.from_bytes(
+                            seg[bp : bp + 6], "big"
+                        )
+                        bp += 6
+                        nb += 48
+                    else:
+                        while nb < want:
+                            if bp < L:
+                                acc = (acc << 8) | seg[bp]
+                                bp += 1
+                            else:
+                                acc = (acc << 8) | 0xFF
+                                pad += 8
+                            nb += 8
+                if want > nb - pad:
+                    raise ValueError("entropy data exhausted mid-symbol")
+                nb -= ln
+                v = (acc >> (nb - t)) & _MSK[t]
+                nb -= t
+                acc &= _MSK[nb]
+                dc = pred[cid] + (v if v >= 1 << (t - 1) else v - _MSK[t])
+            pred[cid] = dc
+            ilist.append(base)
+            vlist.append(dc)
+            # ---- AC coefficients
+            k = 1
+            while k < 64:
+                if nb < 16:
+                    if bp + 6 <= L:
+                        acc = (acc << 48) | int.from_bytes(
+                            seg[bp : bp + 6], "big"
+                        )
+                        bp += 6
+                        nb += 48
+                    else:
+                        while nb < 48:
+                            if bp < L:
+                                acc = (acc << 8) | seg[bp]
+                                bp += 1
+                            else:
+                                acc = (acc << 8) | 0xFF
+                                pad += 8
+                            nb += 8
+                e = acl[acc >> (nb - 16)]
+                if e > 0:
+                    tl = e >> 21
+                    if tl > nb - pad:
+                        raise ValueError("entropy data exhausted mid-symbol")
+                    nb -= tl
+                    acc &= _MSK[nb]
+                    vp = e & 0x1FFFF
+                    if vp:
+                        k += (e >> 17) & 0xF
+                        if k > 63:
+                            raise ValueError("AC run past end of block")
+                        ilist.append(base + k)
+                        vlist.append(vp - 65536)
+                        k += 1
+                    elif (e >> 17) & 0xF == 15:  # ZRL: 16 zeros
+                        k += 16
+                    else:  # EOB
+                        break
+                elif e == 0:
+                    raise ValueError("invalid huffman code in entropy data")
+                else:  # slow path: code + magnitude wider than 16 bits
+                    ln = (-e) >> 8
+                    rs = (-e) & 0xFF
+                    s = rs & 0xF
+                    want = ln + s
+                    if nb < want:
+                        if bp + 6 <= L:
+                            acc = (acc << 48) | int.from_bytes(
+                                seg[bp : bp + 6], "big"
+                            )
+                            bp += 6
+                            nb += 48
+                        else:
+                            while nb < want:
+                                if bp < L:
+                                    acc = (acc << 8) | seg[bp]
+                                    bp += 1
+                                else:
+                                    acc = (acc << 8) | 0xFF
+                                    pad += 8
+                                nb += 8
+                    if want > nb - pad:
+                        raise ValueError("entropy data exhausted mid-symbol")
+                    nb -= ln
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    v = (acc >> (nb - s)) & _MSK[s]
+                    nb -= s
+                    acc &= _MSK[nb]
+                    ilist.append(base + k)
+                    vlist.append(v if v >= 1 << (s - 1) else v - _MSK[s])
+                    k += 1
+    for cid, (ilist, vlist) in sinks.items():
+        if ilist:
+            cf[cid][np.asarray(ilist, dtype=np.int64)] = vlist
+
+
+def _decode_scan_progressive(segments, frame, geom, scan, huff_dc, huff_ac,
+                             restart_interval, cf, ss, se, ah, al):
+    """Progressive-DCT scan dispatch (T.81 G.2): spectral selection
+    (Ss..Se) x successive approximation (Ah/Al). DC scans may be
+    interleaved; AC scans are single-component by spec. Coefficients
+    accumulate across scans in cf; reconstruction happens once at EOI."""
+    scan_cids = [cs for cs, _, _ in scan]
+    pairs, unit_len = _scan_order(frame, geom, scan_cids)
+    ri = (restart_interval or len(pairs)) * unit_len
+
+    def readers():
+        for ci, start in enumerate(range(0, len(pairs), ri)):
+            yield (
+                _SegReader(segments[ci] if ci < len(segments) else b""),
+                pairs[start : start + ri],
+            )
+
+    # scans mutate coefficients one at a time; numpy SCALAR access is
+    # ~10x a list index, so each touched component works on a plain
+    # list for the scan's duration and writes back once at the end
+    bufs = {cid: cf[cid].tolist() for cid in scan_cids}
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ah == 0:  # first pass: huffman-coded diffs at reduced precision
+            tabs = {cs: huff_dc[td].plain() for cs, td, _ in scan}
+            for rd, chunk in readers():
+                pred = dict.fromkeys(scan_cids, 0)
+                for cid, base in chunk:
+                    t = rd.huff(tabs[cid])
+                    pred[cid] += _extend(rd.read_bits(t), t)
+                    bufs[cid][base] = pred[cid] << al
+        else:  # refinement: one raw bit per block
+            for rd, chunk in readers():
+                for cid, base in chunk:
+                    if rd.read_bits(1):
+                        bufs[cid][base] |= 1 << al
+    else:  # AC scan
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        if not 1 <= ss <= se <= 63:
+            raise ValueError("invalid progressive spectral band")
+        acl = huff_ac[scan[0][2]].plain()
+        cfl = bufs[scan_cids[0]]
+        if ah == 0:
+            _prog_ac_first(readers(), acl, cfl, ss, se, al)
+        else:
+            _prog_ac_refine(readers(), acl, cfl, ss, se, al)
+    for cid in bufs:
+        cf[cid][:] = bufs[cid]
+
+
+def _prog_ac_first(readers, acl, cfl, ss, se, al):
+    """First pass for an AC band (T.81 G.2.2): huffman RS symbols with
+    EOBn run codes — a run of (1<<r)+appended-bits blocks whose band is
+    entirely zero at this precision."""
+    for rd, chunk in readers:
+        eobrun = 0
+        for _, base in chunk:
+            if eobrun:
+                eobrun -= 1
                 continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("AC run past end of block")
-        zz[k] = _extend(br.read_bits(s), s)
-        k += 1
-    nat = np.zeros(64, dtype=np.int64)
-    nat[ZIGZAG] = zz
-    return nat.reshape(8, 8)
+            k = ss
+            while k <= se:
+                rs = rd.huff(acl)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + (rd.read_bits(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past end of band")
+                cfl[base + k] = _extend(rd.read_bits(s), s) << al
+                k += 1
+
+
+def _prog_ac_refine(readers, acl, cfl, ss, se, al):
+    """Refinement pass for an AC band (T.81 G.2.3 / figure G.7): RS
+    symbols position NEWLY nonzero coefficients (s=1, sign bit) among
+    zero-history positions, while every nonzero-history coefficient
+    passed over contributes one correction bit that grows its magnitude
+    by 1<<Al when set. EOB runs carry the remaining correction bits."""
+    p1 = 1 << al
+    m1 = -1 << al
+    for rd, chunk in readers:
+        eobrun = 0
+        for _, base in chunk:
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = rd.huff(acl)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) + (rd.read_bits(r) if r else 0)
+                            break
+                        newval = 0  # ZRL: 16 zero-history positions
+                    elif s == 1:
+                        newval = p1 if rd.read_bits(1) else m1
+                    else:
+                        raise ValueError(
+                            "invalid magnitude in AC refinement scan"
+                        )
+                    while k <= se:
+                        i = base + k
+                        v = cfl[i]
+                        if v:
+                            if rd.read_bits(1) and not v & p1:
+                                cfl[i] = v + p1 if v >= 0 else v + m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError("AC run past end of band")
+                        cfl[base + k] = newval
+                    k += 1
+            if eobrun:
+                while k <= se:  # correction bits for the rest of the band
+                    i = base + k
+                    v = cfl[i]
+                    if v and rd.read_bits(1) and not v & p1:
+                        cfl[i] = v + p1 if v >= 0 else v + m1
+                    k += 1
+                eobrun -= 1
+
+
+def _reconstruct(frame, geom: _Geom, quant, cf) -> dict[int, np.ndarray]:
+    """All scans decoded: de-zigzag, dequant and IDCT every component.
+    The 2-D IDCT (D.T @ X @ D per block) runs as two [n*8, 8] x [8, 8]
+    BLAS matmuls over the whole stack — einsum's batched-3D path was
+    ~40% of total decode time; the flattened dgemms are ~50x faster."""
+    h, w, comps = frame
+    out = {}
+    for cid, hs, vs, tq in comps:
+        zz = np.asarray(cf[cid], dtype=np.float64).reshape(-1, 64)
+        nat = np.empty_like(zz)
+        nat[:, ZIGZAG] = zz
+        stack = nat.reshape(-1, 8, 8) * quant[tq][None, :, :]
+        n = stack.shape[0]
+        half = (stack.reshape(n * 8, 8) @ _D).reshape(n, 8, 8)  # X @ D
+        blocks = (
+            (half.transpose(0, 2, 1).reshape(n * 8, 8) @ _D)  # (X@D).T @ D
+            .reshape(n, 8, 8)
+            .transpose(0, 2, 1)
+        )
+        by, bx = geom.bh[cid], geom.bw[cid]
+        plane = (
+            blocks.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        out[cid] = np.clip(np.round(plane + 128.0), 0, 255)
+    return out
 
 
 # --------------------------------------------------------------- encoder
@@ -470,32 +876,44 @@ def _mag_cat(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def _encode_block(bw, blk, qt, pred_key, pred, dc_tab, ac_tab) -> None:
-    coeffs = _D @ blk.astype(np.float64) @ _D.T
-    q = np.round(coeffs / qt).astype(np.int64)
-    zz = q.reshape(-1)[ZIGZAG]
-    diff = int(zz[0]) - pred[pred_key]
-    pred[pred_key] = int(zz[0])
+def _plane_coeffs(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Block-padded plane -> [n_blocks, 64] quantized zigzag-order
+    coefficients in raster block order, computed vectorized (one einsum
+    DCT + one rounded divide). Both the baseline and progressive
+    writers emit from this same array, so the two streams carry
+    identical coefficients by construction."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coeffs = np.einsum("ij,njk,lk->nil", _D, blocks, _D)
+    q = np.round(coeffs / qt[None, :, :]).astype(np.int64)
+    return q.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _encode_block(bw, zz, pred_key, pred, dc_tab, ac_tab) -> None:
+    """Sequential (baseline) coding of one block's zigzag coefficients:
+    DC diff + run/size AC symbols with ZRL and EOB (T.81 F.1.2)."""
+    diff = zz[0] - pred[pred_key]
+    pred[pred_key] = zz[0]
     t = _mag_cat(diff)
     code, ln = dc_tab[t]
     bw.write(code, ln)
     if t:
         bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
     run = 0
-    last_nz = int(np.nonzero(zz)[0].max()) if np.any(zz) else 0
-    for k in range(1, 64):
-        v = int(zz[k])
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = zz[k]
         if v == 0:
-            if k > last_nz:
-                break
             run += 1
-            if run == 16:
-                code, ln = ac_tab[0xF0]  # ZRL
-                bw.write(code, ln)
-                run = 0
             continue
         while run >= 16:
-            code, ln = ac_tab[0xF0]
+            code, ln = ac_tab[0xF0]  # ZRL
             bw.write(code, ln)
             run -= 16
         s = _mag_cat(v)
@@ -508,9 +926,124 @@ def _encode_block(bw, blk, qt, pred_key, pred, dc_tab, ac_tab) -> None:
         bw.write(code, ln)
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """uint8 [h, w] gray or [h, w, 3] RGB -> baseline JPEG bytes
-    (4:4:4, standard tables at the given quality)."""
+# ------------------------------------------ progressive scan emitters
+#
+# T.81 Annex G coding, with one simplification: EOB runs are capped at
+# 1 (a lone 0x00 EOB per block) because the Annex K standard tables
+# carry no EOBn (n>0) symbols — real progressive encoders ship custom
+# DHTs for those. The stream stays fully spec-conformant; the EOBn>0
+# DECODE path is pinned by real third-party fixtures and a hand-built
+# custom-DHT vector test instead.
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (G.1.2.2): magnitude shift, sign preserved."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _emit_dc_first(bw, comp_zzs, order, dc_tabs, al) -> None:
+    """Interleaved DC scan, Ah=0: diff-coded (dc >> Al) per component.
+    `order` is the interleaved (comp_index, block_index) walk."""
+    pred = dict.fromkeys({ci for ci, _ in order}, 0)
+    for ci, bi in order:
+        dc = int(comp_zzs[ci][bi, 0]) >> al  # arithmetic shift (G.1.2.1)
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        t = _mag_cat(diff)
+        code, ln = dc_tabs[ci][t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _emit_dc_refine(bw, comp_zzs, order, al) -> None:
+    """DC refinement scan: one raw bit (bit Al of each DC) per block."""
+    for ci, bi in order:
+        bw.write((int(comp_zzs[ci][bi, 0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(bw, zzs, ac_tab, ss, se, al) -> None:
+    """Single-component AC first pass over band Ss..Se at precision Al
+    (run/size + ZRL + per-block EOB; EOB runs capped at 1)."""
+    for bi in range(zzs.shape[0]):
+        blk = zzs[bi]
+        run = 0
+        wrote = False
+        for k in range(ss, se + 1):
+            v = _pt_ac(int(blk[k]), al)
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_tab[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = _mag_cat(v)
+            code, ln = ac_tab[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+            wrote = True
+        if run > 0 or not wrote:
+            code, ln = ac_tab[0x00]  # EOB (run of exactly 1)
+            bw.write(code, ln)
+
+
+def _emit_ac_refine(bw, zzs, ac_tab, ss, se, al) -> None:
+    """Single-component AC refinement (G.2.3, the jcphuff-style
+    bookkeeping): newly-nonzero coefficients (|v|>>Al == 1) emit
+    (run<<4)|1 + a sign bit, where `run` counts only zero-HISTORY
+    positions; every history-nonzero coefficient passed over buffers
+    one correction bit (bit Al of |v|), flushed right after the next
+    emitted symbol's own bits. A block's trailing zero-history run
+    becomes a plain EOB carrying the remaining buffered bits."""
+    for bi in range(zzs.shape[0]):
+        blk = zzs[bi]
+        eob = -1  # last newly-nonzero position
+        for k in range(ss, se + 1):
+            if abs(int(blk[k])) >> al == 1:
+                eob = k
+        run = 0
+        pending: list[int] = []
+        for k in range(ss, se + 1):
+            t = abs(int(blk[k])) >> al
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob:
+                code, ln = ac_tab[0xF0]
+                bw.write(code, ln)
+                run -= 16
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+            if t > 1:  # history-nonzero: buffer the correction bit
+                pending.append(t & 1)
+                continue
+            code, ln = ac_tab[(run << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if int(blk[k]) >= 0 else 0, 1)
+            run = 0
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if run > 0 or pending:
+            code, ln = ac_tab[0x00]  # EOB closing this block
+            bw.write(code, ln)
+            for b in pending:
+                bw.write(b, 1)
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, progressive: bool = False
+) -> bytes:
+    """uint8 [h, w] gray or [h, w, 3] RGB -> JPEG bytes (4:4:4,
+    standard Annex K tables at the given quality). `progressive=True`
+    emits SOF2 with a spectral-selection x successive-approximation
+    scan script (DC first Al=1 -> AC 1..5 / 6..63 first Al=1 per
+    component -> AC refine 1..63 per component -> DC refine): the same
+    quantized coefficients as the baseline stream, so decode output is
+    pixel-identical between the two envelopes."""
     pixels = np.asarray(pixels, dtype=np.uint8)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
@@ -527,6 +1060,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
         qts, comp_q = [ql, qc, qc], [0, 1, 1]
+    nc = len(planes)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -535,48 +1069,71 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     for tq, qt in enumerate([ql] if gray else [ql, qc]):
         zz = qt.reshape(-1)[ZIGZAG].astype(np.uint8)
         out += seg(0xDB, bytes([tq]) + zz.tobytes())
-    nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i in range(nc):
         sof += bytes([i + 1, 0x11, comp_q[i]])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     specs = [(0, 0, DC_LUMA_BITS, DC_LUMA_VALS), (0, 1, AC_LUMA_BITS, AC_LUMA_VALS)]
     if not gray:
         specs += [(1, 0, DC_CHROMA_BITS, DC_CHROMA_VALS),
                   (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)]
     for th, tc, bits, vals in specs:
         out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-    sos = bytes([nc])
-    for i in range(nc):
-        td_ta = 0x00 if (gray or i == 0) else 0x11
-        sos += bytes([i + 1, td_ta])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
 
-    dc_l = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
-    bw = _BitWriter()
-    pred = {i: 0 for i in range(nc)}
+    # block-padded planes + the shared quantized coefficient arrays
     bh, bwid = (h + 7) // 8, (w + 7) // 8
-    padded = []
-    for p in planes:
+    comp_zzs = []
+    for i, p in enumerate(planes):
         pp = np.zeros((bh * 8, bwid * 8))
         pp[:h, :w] = p
         if w % 8:
             pp[:h, w:] = p[:, -1:]  # edge-replicate padding
         if h % 8:
             pp[h:, :] = pp[h - 1 : h, :]
-        padded.append(pp)
-    for by in range(bh):
-        for bx in range(bwid):
-            for i in range(nc):
-                qt = qts[i]
-                dt, at = (dc_l, ac_l) if (gray or i == 0) else (dc_c, ac_c)
-                blk = padded[i][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                _encode_block(bw, blk, qt, i, pred, dt, at)
-    bw.flush()
-    out += bw.out
+        comp_zzs.append(_plane_coeffs(pp, qts[i]))
+
+    dc_l = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    dc_tabs = [dc_l] + [dc_c] * (nc - 1)
+    ac_tabs = [ac_l] + [ac_c] * (nc - 1)
+    # 4:4:4 interleaved walk: one block per component per MCU
+    order = [(ci, bi) for bi in range(bh * bwid) for ci in range(nc)]
+
+    def sos_scan(comps: list[int], ss, se, ah, al, body_writer) -> None:
+        sos = bytes([len(comps)])
+        for ci in comps:
+            td_ta = 0x00 if ci == 0 else 0x11
+            sos += bytes([ci + 1, td_ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(seg(0xDA, sos))
+        bw = _BitWriter()
+        body_writer(bw)
+        bw.flush()
+        out.extend(bw.out)
+
+    if not progressive:
+        def body(bw):
+            zlists = [z.tolist() for z in comp_zzs]
+            pred = dict.fromkeys(range(nc), 0)
+            for ci, bi in order:
+                _encode_block(bw, zlists[ci][bi], ci, pred,
+                              dc_tabs[ci], ac_tabs[ci])
+        sos_scan(list(range(nc)), 0, 63, 0, 0, body)
+    else:
+        sos_scan(list(range(nc)), 0, 0, 0, 1,
+                 lambda bw: _emit_dc_first(bw, comp_zzs, order, dc_tabs, 1))
+        for ci in range(nc):
+            for ss, se in ((1, 5), (6, 63)):
+                sos_scan([ci], ss, se, 0, 1,
+                         lambda bw, ci=ci, ss=ss, se=se: _emit_ac_first(
+                             bw, comp_zzs[ci], ac_tabs[ci], ss, se, 1))
+        for ci in range(nc):
+            sos_scan([ci], 1, 63, 1, 0,
+                     lambda bw, ci=ci: _emit_ac_refine(
+                         bw, comp_zzs[ci], ac_tabs[ci], 1, 63, 0))
+        sos_scan(list(range(nc)), 0, 0, 1, 0,
+                 lambda bw: _emit_dc_refine(bw, comp_zzs, order, 0))
     out += b"\xff\xd9"
     return bytes(out)
