@@ -9,15 +9,18 @@ ship in this container):
 
 - **BMP** (Windows BITMAPINFOHEADER, uncompressed 24-bit BGR and 8-bit
   paletted): magic/offset walk, bottom-up row order, 4-byte row padding.
-- **PNG** (W3C PNG / RFC 2083, non-interlaced 8-bit gray/RGB/
-  gray-alpha/RGBA): CRC-validated chunk walk, IDAT inflate, the five
-  row filters (None/Sub/Up/Average/Paeth) reversed row-sequentially.
-- **JPEG** (ITU-T T.81 baseline sequential, `operators/jpeg.py`):
-  marker walk, canonical huffman decode from the file's own DHT
-  segments, MCU entropy decode with restart markers and byte
-  unstuffing, dequant + IDCT + chroma upsample + YCbCr->RGB; plus a
-  standard-tables encoder for round-trip tests. Progressive /
-  arithmetic / 12-bit raise.
+- **PNG** (W3C PNG / RFC 2083, 8- and 16-bit gray/RGB/gray-alpha/
+  RGBA, sequential AND Adam7-interlaced): CRC-validated chunk walk,
+  IDAT inflate, the five row filters (None/Sub/Up/Average/Paeth)
+  reversed row-sequentially, seven-pass de-interlace.
+- **JPEG** (ITU-T T.81 baseline sequential AND progressive,
+  `operators/jpeg.py`): marker walk, canonical huffman decode from
+  the file's own DHT segments, MCU entropy decode with restart
+  markers and byte unstuffing, progressive spectral-selection /
+  successive-approximation scans, dequant + IDCT + chroma upsample +
+  YCbCr->RGB; plus a standard-tables encoder (baseline and
+  progressive scan scripts) for round-trip tests. Arithmetic /
+  12-bit / lossless raise.
 - **WAV** (RIFF/WAVE, PCM 8/16/24-bit + IEEE float32): chunk walk
   (skips LIST/fact/..., honours odd-size padding), fmt parse,
   EXTENSIBLE GUID resolution, interleaved channel de-mux.
@@ -173,18 +176,83 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+_ADAM7 = (  # (x0, y0, dx, dy) per pass, PNG spec §8.2
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int, bpp: int):
+    """Reverse the five PNG row filters (spec §9) over ``h`` rows of
+    ``stride`` bytes starting at ``raw[off]`` (each row prefixed by its
+    filter-type byte). ``bpp`` is the BYTES per pixel — filters operate
+    bytewise at pixel offset, which is what makes the same code serve
+    8- and 16-bit samples. Returns ([h, stride] uint8, next offset)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[off]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(np.int32)
+        off += 1 + stride
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth depend on the pixel `bpp` bytes to the
+            # left — sequential in x by definition
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # up
+                if ftype == 1:
+                    cur[x] = (row[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth predictor (spec §6.6)
+                    c = prev[x - bpp] if x >= bpp else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    cur[x] = (row[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out, off
+
+
+def _png_rows_to_pixels(rows: np.ndarray, h: int, w: int, ch: int, depth: int) -> np.ndarray:
+    """[h, stride] filtered-out bytes -> pixel array (uint8 or uint16
+    big-endian per spec)."""
+    if depth == 8:
+        px = rows
+    else:  # 16-bit: big-endian sample pairs
+        px = (rows[:, 0::2].astype(np.uint16) << 8) | rows[:, 1::2]
+    if ch == 1:
+        return px.reshape(h, w)
+    return px.reshape(h, w, ch)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit PNG -> pixel array, from scratch on stdlib
-    ``zlib`` + ``struct`` (public spec: W3C PNG / RFC 2083).
+    """PNG -> pixel array, from scratch on stdlib ``zlib`` + ``struct``
+    (public spec: W3C PNG / RFC 2083).
 
     Supported: color types 0 (gray -> [h,w]), 2 (RGB -> [h,w,3]),
-    4 (gray+alpha -> [h,w,2]), 6 (RGBA -> [h,w,4]), bit depth 8,
-    interlace 0. Chunk walk validates lengths and CRCs (fail loud on
-    corruption, like the WAV/protobuf parsers); all IDAT chunks are
-    concatenated, inflated, and the five row filters (None/Sub/Up/
-    Average/Paeth) are reversed row-sequentially. Palette (type 3),
-    16-bit, and Adam7 raise NotImplementedError — honest gaps, not
-    silent misdecodes."""
+    4 (gray+alpha -> [h,w,2]), 6 (RGBA -> [h,w,4]); bit depths 8
+    (uint8 out) and 16 (uint16 out); interlace 0 (sequential) and 1
+    (Adam7 — the seven passes unfilter independently and scatter into
+    the full image by the spec §8.2 grid). Chunk walk validates
+    lengths and CRCs (fail loud on corruption, like the WAV/protobuf
+    parsers); all IDAT chunks are concatenated then inflated, and the
+    five row filters (None/Sub/Up/Average/Paeth) are reversed
+    row-sequentially. Palette (type 3) and sub-byte depths raise
+    NotImplementedError — honest gaps, not silent misdecodes."""
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, idat, seen_iend = 8, None, b"", False
@@ -212,77 +280,53 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError(f"bad PNG compression/filter method ({comp}/{filt})")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if depth != 8 or color not in _PNG_CHANNELS:
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if depth not in (8, 16) or color not in _PNG_CHANNELS:
         raise NotImplementedError(
-            f"only 8-bit gray/RGB/gray-alpha/RGBA PNG supported "
+            f"only 8/16-bit gray/RGB/gray-alpha/RGBA PNG supported "
             f"(depth={depth}, color_type={color})"
         )
     ch = _PNG_CHANNELS[color]
+    bpp = ch * (depth // 8)
     raw = zlib.decompress(idat)
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"PNG pixel data length mismatch: {len(raw)} != {h * (stride + 1)}"
+            )
+        rows, _ = _png_unfilter(raw, 0, h, stride, bpp)
+        return _png_rows_to_pixels(rows, h, w, ch, depth)
+    # Adam7: each pass is an independent filtered sub-image; empty
+    # passes (zero width or height) contribute no bytes at all
+    dtype = np.uint8 if depth == 8 else np.uint16
+    full = np.zeros((h, w, ch), dtype=dtype)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rows, off = _png_unfilter(raw, off, ph, pw * bpp, bpp)
+        full[y0::dy, x0::dx] = _png_rows_to_pixels(rows, ph, pw, ch, depth).reshape(ph, pw, ch)
+    if off != len(raw):
         raise ValueError(
-            f"PNG pixel data length mismatch: {len(raw)} != {h * (stride + 1)}"
+            f"PNG pixel data length mismatch: {len(raw)} != {off} (Adam7)"
         )
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        if ftype == 0:  # None
-            cur = row
-        elif ftype == 2:  # Up
-            cur = (row + prev) & 0xFF
-        elif ftype in (1, 3, 4):
-            # Sub/Average/Paeth depend on the pixel `ch` bytes to the
-            # left — sequential in x by definition
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0  # left
-                b = prev[x]  # up
-                if ftype == 1:
-                    cur[x] = (row[x] + a) & 0xFF
-                elif ftype == 3:
-                    cur[x] = (row[x] + ((a + b) >> 1)) & 0xFF
-                else:  # Paeth predictor (spec §6.6)
-                    c = prev[x - ch] if x >= ch else 0  # upper-left
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    if pa <= pb and pa <= pc:
-                        pr = a
-                    elif pb <= pc:
-                        pr = b
-                    else:
-                        pr = c
-                    cur[x] = (row[x] + pr) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
     if ch == 1:
-        return out
-    return out.reshape(h, w, ch)
+        return full.reshape(h, w)
+    return full
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """Pixel array -> 8-bit non-interlaced PNG bytes ([h,w] gray,
-    [h,w,2] gray+alpha, [h,w,3] RGB, [h,w,4] RGBA). Round-trip twin of
-    decode_png; ``filter_type`` applies one filter (0-4) to every row so
-    tests can exercise each unfilter path against a known image."""
-    pixels = np.asarray(pixels, dtype=np.uint8)
-    h, w = pixels.shape[:2]
-    ch = 1 if pixels.ndim == 2 else pixels.shape[2]
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    flat = pixels.reshape(h, w * ch).astype(np.int32)
-    stride = w * ch
+def _png_filter_pass(byte_rows: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """Apply one PNG row filter to every row of a [h, stride] byte
+    image — the encode twin of _png_unfilter."""
+    h, stride = byte_rows.shape
     rows = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        cur = flat[y]
+        cur = byte_rows[y].astype(np.int32)
         rows.append(filter_type)
         if filter_type == 0:
             enc = cur
@@ -291,14 +335,14 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         elif filter_type in (1, 3, 4):
             enc = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
                 if filter_type == 1:
                     enc[x] = (cur[x] - a) & 0xFF
                 elif filter_type == 3:
                     enc[x] = (cur[x] - ((a + b) >> 1)) & 0xFF
                 else:
-                    c = prev[x - ch] if x >= ch else 0
+                    c = prev[x - bpp] if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -307,6 +351,46 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
             raise ValueError(f"unknown PNG filter type {filter_type}")
         rows += enc.astype(np.uint8).tobytes()
         prev = cur
+    return bytes(rows)
+
+
+def encode_png(
+    pixels: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """Pixel array -> PNG bytes ([h,w] gray, [h,w,2] gray+alpha,
+    [h,w,3] RGB, [h,w,4] RGBA; uint8 -> depth 8, uint16 -> depth 16).
+    Round-trip twin of decode_png; ``filter_type`` applies one filter
+    (0-4) to every row so tests can exercise each unfilter path against
+    a known image, and ``interlace=True`` writes the seven Adam7
+    passes."""
+    pixels = np.asarray(pixels)
+    if pixels.dtype not in (np.uint8, np.uint16):
+        pixels = pixels.astype(np.uint8)
+    depth = 8 if pixels.dtype == np.uint8 else 16
+    h, w = pixels.shape[:2]
+    ch = 1 if pixels.ndim == 2 else pixels.shape[2]
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch * (depth // 8)
+    px3 = pixels.reshape(h, w, ch)
+
+    def to_bytes(sub: np.ndarray) -> np.ndarray:
+        """[ph, pw, ch] samples -> [ph, pw*bpp] big-endian bytes."""
+        ph, pw = sub.shape[:2]
+        if depth == 8:
+            return sub.reshape(ph, pw * ch)
+        be = sub.astype(">u2").view(np.uint8)
+        return be.reshape(ph, pw * bpp)
+
+    if not interlace:
+        body = _png_filter_pass(to_bytes(px3), bpp, filter_type)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px3[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(_png_filter_pass(to_bytes(sub), bpp, filter_type))
+        body = b"".join(parts)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -316,11 +400,11 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + chunk(b"IDAT", zlib.compress(body))
         + chunk(b"IEND", b"")
     )
 
