@@ -60,3 +60,38 @@ def batch_tumbling_counts(events: DataFrame, window: str = "1 hour") -> DataFram
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(F.col("win.start").alias("window_start"), "event_type", "n", "sum_value")
     )
+
+
+def _session_agg(df: DataFrame, gap: str) -> DataFrame:
+    """Shared shape for the streaming and batch session queries — the
+    same plan the batch ``t5_session_window`` registry query runs, so
+    stream == batch == DuckDB gaps-and-islands oracle."""
+    return (
+        df.groupBy(
+            F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_sums(stream: DataFrame, gap: str = "30 minutes",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming session windows (dynamic-gap state): Spark merges an
+    event into the open session when its gap to the previous event is
+    <= ``gap``; the watermark closes sessions so state stays bounded.
+    Run in append mode — a session row is emitted exactly once, when
+    the watermark passes ``session_end`` (no partial sessions leak)."""
+    return _session_agg(stream.withWatermark("ts", watermark), gap)
+
+
+def batch_session_sums(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """The batch twin the session stream must agree with."""
+    return _session_agg(events, gap)

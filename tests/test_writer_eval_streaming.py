@@ -248,6 +248,90 @@ def test_stream_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_session_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window (complete mode) over the events table
+    equals the batch twin — the same plan t5_session_window registers,
+    so stream == batch == the DuckDB gaps-and-islands oracle."""
+    from neuscraper_spark.streaming.events import (
+        batch_session_sums,
+        read_event_stream,
+        run_available_now,
+        session_sums,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    in_dir = str(tmp_path / "in")
+    spark.read.parquet(src).repartition(6).write.parquet(in_dir)
+
+    stream = read_event_stream(spark, in_dir)
+    q = run_available_now(
+        session_sums(stream), "ev_sessions", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    key = ["user_id", "session_start"]
+    got = (
+        spark.table("ev_sessions").toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    want = (
+        batch_session_sums(spark.read.parquet(in_dir)).toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_session_stream_append_finalized_only(spark, tmp_path):
+    """Append mode: every emitted session row is byte-identical to a
+    batch-twin row (no partial sessions leak), each session emits at
+    most once, and sessions closed well before the final watermark do
+    emit (state is actually flushed, not held forever)."""
+    from neuscraper_spark.streaming.events import (
+        batch_session_sums,
+        read_event_stream,
+        session_sums,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    in_dir = str(tmp_path / "in")
+    spark.read.parquet(src).repartition(6).write.parquet(in_dir)
+
+    agg = session_sums(read_event_stream(spark, in_dir), watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_sessions_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = ["user_id", "session_start"]
+    got = (
+        spark.table("ev_sessions_append").toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    want = batch_session_sums(spark.read.parquet(in_dir)).toPandas()
+    # each emitted row is a finalized batch row, emitted exactly once
+    assert not got.duplicated(subset=key).any()
+    merged = got.merge(want, on=list(got.columns), how="left", indicator=True)
+    assert (merged["_merge"] == "both").all(), "append emitted a partial session"
+    # sessions that ended > watermark before the max event time must emit
+    max_ts = spark.table("ev_sessions_append").sparkSession.read.parquet(
+        in_dir
+    ).agg(F.max("ts")).collect()[0][0]
+    import pandas as pd_  # local alias to keep top-level imports stable
+
+    horizon = pd_.Timestamp(max_ts) - pd_.Timedelta(hours=3)
+    closed_early = want[want["session_end"] < horizon]
+    have = set(map(tuple, got[key].itertuples(index=False)))
+    missing = [
+        k for k in map(tuple, closed_early[key].itertuples(index=False))
+        if k not in have
+    ]
+    assert not missing, f"{len(missing)} finalized sessions never emitted"
+
+
 def test_writer_compaction_merges_small_files(spark, tmp_path):
     """compact() rewrites each committed partition's many small parquet
     files into one: rows/read()/time-travel unchanged, manifests point
