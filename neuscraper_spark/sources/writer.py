@@ -74,6 +74,106 @@ class TableWriter:
     def schema_path(self) -> str:
         return os.path.join(self.root, "_schema.json")
 
+    # ------------------------------------------------------------ schema log
+
+    def _load_schema_registry(self) -> dict | None:
+        """Versioned schema log (Iceberg's schemas list + current-schema-id).
+        Format 1 tables (a bare StructType json from before evolution
+        support) load as a single-schema registry with id 0."""
+        if not os.path.exists(self.schema_path):
+            return None
+        with open(self.schema_path) as f:
+            raw = json.load(f)
+        if "schemas" not in raw:
+            return {
+                "format": 2,
+                "current_id": 0,
+                "schemas": [{"id": 0, "schema": raw, "defaults": {}}],
+            }
+        return raw
+
+    def _save_schema_registry(self, reg: dict) -> None:
+        tmp = self.schema_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(reg, f)
+        os.replace(tmp, self.schema_path)
+
+    def schema_as_of(self, schema_id: int | None = None) -> StructType | None:
+        """The table schema at ``schema_id`` (default: current)."""
+        reg = self._load_schema_registry()
+        if reg is None:
+            return None
+        sid = reg["current_id"] if schema_id is None else schema_id
+        for s in reg["schemas"]:
+            if s["id"] == sid:
+                return StructType.fromJson(s["schema"])
+        raise ValueError(f"unknown schema_id {sid}; have "
+                         f"{[s['id'] for s in reg['schemas']]}")
+
+    def _evolve_registry(self, reg: dict | None, df_schema: StructType,
+                         mode: str, evolve: bool, defaults: dict | None) -> dict:
+        """Reconcile the incoming DataFrame schema with the stored log.
+
+        Add-column-with-default is the one evolution supported (Iceberg's
+        most common): the new write's schema must contain every stored
+        column at its stored type; extra columns append a new schema
+        generation whose ``defaults`` give pre-existing rows their value
+        (Iceberg v3 initial-default). Dropping or re-typing a column
+        raises — those rewrite data, which is an ``overwrite``."""
+        df_json = json.loads(df_schema.json())
+        if reg is None or mode == "overwrite":
+            # fresh table (overwrite expired all manifests/snapshots, so
+            # schema ids restart with nothing left to reference them)
+            if defaults:
+                raise ValueError("defaults only apply when evolving an "
+                                 "existing table's schema")
+            return {"format": 2, "current_id": 0,
+                    "schemas": [{"id": 0, "schema": df_json, "defaults": {}}]}
+        stored = self.schema_as_of(reg["current_id"])
+        stored_by_name = {f.name: f for f in stored.fields}
+        df_by_name = {f.name: f for f in df_schema.fields}
+        missing = [n for n in stored_by_name if n not in df_by_name]
+        retyped = [
+            n for n, f in df_by_name.items()
+            if n in stored_by_name and stored_by_name[n].dataType != f.dataType
+        ]
+        if missing or retyped:
+            raise ValueError(
+                f"incompatible append schema: missing={missing} "
+                f"retyped={retyped} — only add-column evolution is "
+                f"supported; use mode='overwrite' to replace the table"
+            )
+        new_fields = [f for f in df_schema.fields if f.name not in stored_by_name]
+        if not new_fields:
+            if defaults:
+                raise ValueError(f"defaults given for columns that are not "
+                                 f"new: {sorted(defaults)}")
+            return reg
+        if not evolve:
+            raise ValueError(
+                f"append adds columns {[f.name for f in new_fields]} to the "
+                f"stored schema; pass evolve=True to commit the evolution"
+            )
+        defaults = dict(defaults or {})
+        unknown = set(defaults) - {f.name for f in new_fields}
+        if unknown:
+            raise ValueError(f"defaults for non-new columns: {sorted(unknown)}")
+        # added columns must be nullable: pre-evolution files simply lack
+        # them, and a null default is the base case
+        evolved = StructType(
+            stored.fields
+            + [type(f)(f.name, f.dataType, True) for f in new_fields]
+        )
+        new_id = reg["current_id"] + 1
+        reg = dict(reg)
+        reg["schemas"] = reg["schemas"] + [{
+            "id": new_id,
+            "schema": json.loads(evolved.json()),
+            "defaults": {f.name: defaults.get(f.name) for f in new_fields},
+        }]
+        reg["current_id"] = new_id
+        return reg
+
     # ------------------------------------------------------------- manifests
 
     def committed_partitions(self) -> set[str]:
@@ -117,10 +217,18 @@ class TableWriter:
 
     # ---------------------------------------------------------------- write
 
-    def write(self, df: DataFrame, mode: str = "resume") -> dict:
+    def write(self, df: DataFrame, mode: str = "resume",
+              evolve: bool = False, defaults: dict | None = None) -> dict:
         """Write df partitioned by partition_col with per-partition
         manifests. mode: 'resume' skips committed partitions (idempotent
         restart); 'overwrite' recommits everything.
+
+        ``evolve=True`` permits add-column schema evolution on append:
+        extra columns in ``df`` (vs the stored schema) commit a new
+        schema generation, with ``defaults`` (scalar per new column)
+        applied when reading pre-evolution partitions — Iceberg v3's
+        initial-default. Without the flag a widened append raises, so
+        evolution is always an explicit act.
 
         Returns the snapshot dict (written to _snapshots too).
         """
@@ -128,6 +236,13 @@ class TableWriter:
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.snapshot_dir, exist_ok=True)
         pcol = self.partition_col
+
+        # reconcile the incoming schema with the stored log BEFORE any
+        # destructive step, so an incompatible append cannot half-run
+        reg = self._evolve_registry(
+            self._load_schema_registry(), df.schema, mode, evolve, defaults
+        )
+        schema_id = reg["current_id"]
 
         done = self.committed_partitions() if mode == "resume" else set()
         if mode == "overwrite" and os.path.isdir(self.data_dir):
@@ -143,12 +258,9 @@ class TableWriter:
 
         todo = df.filter(~self._pstr().isin(*done) if done else F.lit(True))
 
-        # persist the table schema so read() on an empty/fresh table
+        # persist the schema log so read() on an empty/fresh table
         # returns real columns, not just the partition column
-        tmp = self.schema_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(json.loads(df.schema.json()), f)
-        os.replace(tmp, self.schema_path)
+        self._save_schema_registry(reg)
 
         # clear uncommitted leftovers (a crash after data-write but
         # before manifest-commit leaves orphan files) so the append
@@ -191,6 +303,7 @@ class TableWriter:
                     "written_at": time.time(),
                     "partition_col": pcol,
                     "mode": mode,
+                    "schema_id": schema_id,
                     "files": m["files"],
                 },
             }
@@ -203,6 +316,7 @@ class TableWriter:
 
         snapshot = {
             "snapshot_id": len(os.listdir(self.snapshot_dir)),
+            "schema_id": schema_id,
             "committed_now": sorted(committed),
             "total_committed": sorted(self.committed_partitions()),
             "rows_written": sum(m["n_rows"] for m in metrics.values()),
@@ -241,14 +355,22 @@ class TableWriter:
         snapshots exactly like Iceberg's expire_snapshots; reading an
         expired snapshot raises.
 
+        Schema evolution: each manifest records the schema generation
+        that wrote its partition; partitions are scanned per-generation
+        with that generation's EXACT schema and projected to the target
+        schema, filling columns the generation predates with their
+        initial-default (Iceberg v3: the default applies iff the data
+        file lacks the column — later explicit NULLs stay NULL). A
+        snapshot read uses the schema as of that snapshot, so columns
+        added later are invisible under time-travel, like Iceberg's
+        snapshot schema-id.
+
         Returns the persisted table schema (column order and the
         partition column's original type) even when no partition is
         committed yet."""
         self._finish_compaction()  # a crashed compact() must not hide rows
-        saved = None
-        if os.path.exists(self.schema_path):
-            with open(self.schema_path) as f:
-                saved = StructType.fromJson(json.load(f))
+        reg = self._load_schema_registry()
+        target_id = reg["current_id"] if reg is not None else None
         done = self.committed_partitions()
         if snapshot_id is not None:
             snaps = {s["snapshot_id"]: s for s in self.snapshots()}
@@ -265,18 +387,55 @@ class TableWriter:
                     f"{sorted(missing)} were removed by a later overwrite"
                 )
             done = wanted
+            # pre-evolution snapshots carry no schema_id: current stands
+            target_id = snaps[snapshot_id].get("schema_id", target_id)
+        saved = self.schema_as_of(target_id) if reg is not None else None
         if not done:
             if saved is not None:
                 return spark.createDataFrame([], schema=saved)
             return spark.createDataFrame([], schema=f"{self.partition_col} string")
-        df = spark.read.parquet(self.data_dir).filter(self._pstr().isin(*done))
-        if saved is not None:
-            # partition-dir inference may re-type the partition column
-            # (e.g. string '3' read back as int) and moves it last;
-            # restore the written schema
-            df = df.select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in saved.fields]
+        if saved is None:
+            # no schema log (foreign table): single inferred scan
+            return spark.read.parquet(self.data_dir).filter(self._pstr().isin(*done))
+
+        # group partitions by the generation that wrote them (committed
+        # partitions are immutable, so the manifest's schema_id is the
+        # file truth); pre-evolution manifests are generation 0
+        by_sid: dict[int, list[str]] = {}
+        for p in done:
+            with open(self._manifest_path(p)) as f:
+                sid = json.load(f)["lineage"].get("schema_id", 0)
+            by_sid.setdefault(sid, []).append(p)
+
+        # column -> initial-default from the generation that added it
+        default_of = {}
+        for gen in reg["schemas"]:
+            default_of.update(gen.get("defaults", {}))
+
+        parts = []
+        for sid, ps in sorted(by_sid.items()):
+            # clamp: under time-travel a column added after target_id
+            # must not leak in even if the file physically has it
+            gschema = self.schema_as_of(min(sid, target_id))
+            have = {f.name for f in gschema.fields}
+            # explicit per-generation schema: no footer inference (the
+            # dir mixes generations), and the partition column keeps
+            # its written type instead of hive-dir re-inference
+            scan = (
+                spark.read.schema(gschema)
+                .parquet(self.data_dir)
+                .filter(self._pstr().isin(*ps))
             )
+            cols = [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(default_of.get(f.name)).cast(f.dataType).alias(f.name)
+                for f in saved.fields
+            ]
+            parts.append(scan.select(*cols))
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
         return df
 
     def partition_metrics(self) -> dict[str, dict]:

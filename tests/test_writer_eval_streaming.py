@@ -454,3 +454,102 @@ def test_writer_compaction_crash_completes_manifest_rewrite(spark, tmp_path):
     on_disk = sorted(fn for fn in os.listdir(pdir) if fn.endswith(".parquet"))
     assert sorted(f["file"] for f in m["lineage"]["files"]) == on_disk
     assert m["metrics"]["n_rows"] == old_manifest["metrics"]["n_rows"]
+
+
+# --------------------------------------------------------- schema evolution
+
+
+def test_writer_schema_evolution_add_column_with_default(spark, docs_df, tmp_path):
+    """Add-column-with-default on append (Iceberg v3 initial-default):
+    pre-evolution rows read the default, new rows their written value;
+    old snapshots time-travel to the OLD schema."""
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    s0 = w.write(docs_df.filter("bucket in ('0','1','2')"))
+
+    widened = docs_df.withColumn("lang", F.lit("en")).withColumn(
+        "score", (F.col("doc_id") % 10).cast("double")
+    )
+    # widened append without the flag is refused
+    with pytest.raises(ValueError, match="evolve=True"):
+        w.write(widened)
+    s1 = w.write(widened, evolve=True, defaults={"lang": "und"})
+
+    back = w.read(spark)
+    assert [f.name for f in back.schema.fields] == [
+        "doc_id", "bucket", "text", "lang", "score"
+    ]
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert len(rows) == 100
+    old_buckets = {"0", "1", "2"}
+    for r in rows.values():
+        if r["bucket"] in old_buckets:
+            # pre-evolution partition: declared default / null default
+            assert r["lang"] == "und" and r["score"] is None
+        else:
+            assert r["lang"] == "en" and r["score"] is not None
+
+    # time-travel to the pre-evolution snapshot shows the old schema
+    old = w.read(spark, snapshot_id=s0["snapshot_id"])
+    assert [f.name for f in old.schema.fields] == ["doc_id", "bucket", "text"]
+    assert old.count() == docs_df.filter("bucket in ('0','1','2')").count()
+    assert s1["schema_id"] == s0["schema_id"] + 1
+
+
+def test_writer_schema_evolution_rejects_drop_and_retype(spark, docs_df, tmp_path):
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(docs_df.filter("bucket = '0'"))
+    with pytest.raises(ValueError, match="missing"):
+        w.write(docs_df.drop("text"), evolve=True)
+    with pytest.raises(ValueError, match="retyped"):
+        w.write(docs_df.withColumn("doc_id", F.col("doc_id").cast("string")),
+                evolve=True)
+    # defaults naming a non-new column are a caller bug, not silence
+    with pytest.raises(ValueError, match="defaults"):
+        w.write(docs_df, evolve=True, defaults={"text": "x"})
+
+
+def test_writer_schema_evolution_two_generations(spark, docs_df, tmp_path):
+    """Two evolutions stack; each generation's rows get exactly the
+    defaults for the columns their files predate."""
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(docs_df.filter("bucket = '0'"))
+    g1 = docs_df.filter("bucket = '1'").withColumn("lang", F.lit("fr"))
+    w.write(g1, evolve=True, defaults={"lang": "und"})
+    g2 = (docs_df.filter("bucket = '2'")
+          .withColumn("lang", F.lit("de"))
+          .withColumn("stars", F.lit(3)))
+    w.write(g2, evolve=True, defaults={"stars": 0})
+
+    got = {r["bucket"]: r for r in w.read(spark).select(
+        "bucket", "lang", "stars").distinct().collect()}
+    assert got["0"]["lang"] == "und" and got["0"]["stars"] == 0
+    assert got["1"]["lang"] == "fr" and got["1"]["stars"] == 0
+    assert got["2"]["lang"] == "de" and got["2"]["stars"] == 3
+
+
+def test_writer_overwrite_resets_schema_log(spark, docs_df, tmp_path):
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(docs_df.withColumn("lang", F.lit("en")))
+    snap = w.write(docs_df, mode="overwrite")  # narrower schema is fine
+    assert snap["schema_id"] == 0
+    assert [f.name for f in w.read(spark).schema.fields] == [
+        "doc_id", "bucket", "text"
+    ]
+
+
+def test_writer_legacy_bare_schema_file_upgrades(spark, docs_df, tmp_path):
+    """A format-1 table (bare StructType json from before evolution
+    support) reads and evolves in place."""
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(docs_df.filter("bucket = '0'"))
+    # rewrite the schema file in the old bare format
+    with open(w.schema_path) as f:
+        reg = json.load(f)
+    with open(w.schema_path, "w") as f:
+        json.dump(reg["schemas"][0]["schema"], f)
+    assert w.read(spark).count() == docs_df.filter("bucket = '0'").count()
+    w.write(docs_df.filter("bucket = '1'").withColumn("v", F.lit(1)),
+            evolve=True, defaults={"v": -1})
+    got = {r["bucket"]: r["v"] for r in w.read(spark).select(
+        "bucket", "v").distinct().collect()}
+    assert got == {"0": -1, "1": 1}
