@@ -7,8 +7,10 @@ Four REAL decoders are implemented from scratch against the public
 container/coding specs with stdlib + numpy only (no codec libraries
 ship in this container):
 
-- **BMP** (Windows BITMAPINFOHEADER, uncompressed 24-bit BGR and 8-bit
-  paletted): magic/offset walk, bottom-up row order, 4-byte row padding.
+- **BMP** (Windows BITMAPINFOHEADER: uncompressed 1/4/8bpp paletted,
+  24-bit BGR, 32-bit BGRX, and BI_RLE8/BI_RLE4 escape-coded run
+  compression): magic/offset walk, bottom-up row order, 4-byte row
+  padding, grayscale-vs-color palette expansion.
 - **PNG** (W3C PNG / RFC 2083, 8- and 16-bit gray/RGB/gray-alpha/
   RGBA, sequential AND Adam7-interlaced): CRC-validated chunk walk,
   IDAT inflate, the five row filters (None/Sub/Up/Average/Paeth)
@@ -97,11 +99,81 @@ def _decode_audio_stub(payload: bytes) -> np.ndarray:
 # ----------------------------------------------------- real codecs (stdlib)
 
 
+def _bmp_rle_decode(data: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 escape-coded run decompression to an index
+    array [height, width], rows in BOTTOM-UP order (the only order the
+    spec allows for RLE BMPs). Public format (Windows GDI 'Bitmap
+    Compression', BITMAPINFOHEADER docs): pairs (count, value); count>0
+    repeats value (RLE4: value is two alternating nibbles); count==0
+    escapes — 0=end of line, 1=end of bitmap, 2=delta(dx,dy),
+    n>=3=absolute run of n literal pixels padded to a 16-bit boundary.
+    Skipped pixels (deltas / early EOL) are 0 per GDI behavior."""
+    out = np.zeros((height, width), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < height:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:  # encoded run
+            run = min(cnt, width - x)
+            if bpp == 4:
+                pair = np.array([val >> 4, val & 0xF], dtype=np.uint8)
+                out[y, x : x + run] = np.tile(pair, (run + 1) // 2)[:run]
+            else:
+                out[y, x : x + run] = val
+            x += run
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta: move right/up (bottom-up rows)
+            if i + 1 >= n:
+                break
+            x = min(x + data[i], width)
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: val literal pixels
+            run = val
+            if bpp == 4:
+                nbytes = (run + 1) // 2
+                raw = np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=i)
+                nibbles = np.empty(nbytes * 2, dtype=np.uint8)
+                nibbles[0::2] = raw >> 4
+                nibbles[1::2] = raw & 0xF
+                take = min(run, width - x)
+                out[y, x : x + take] = nibbles[:take]
+                i += nbytes + (nbytes & 1)  # pad to word boundary
+            else:
+                take = min(run, width - x)
+                out[y, x : x + take] = np.frombuffer(
+                    data, dtype=np.uint8, count=take, offset=i
+                )
+                i += run + (run & 1)
+            x += run
+    return out
+
+
+def _bmp_palette_lookup(idx: np.ndarray, pal: np.ndarray) -> np.ndarray:
+    """Paletted indices -> pixels: grayscale palettes (b==g==r for every
+    USED entry) stay a 2-D intensity array (what the feature stages
+    consume); color palettes expand to [h, w, 3] RGB."""
+    used_pal = pal[np.unique(idx)]
+    if np.array_equal(used_pal[:, 0], used_pal[:, 1]) and np.array_equal(
+        used_pal[:, 1], used_pal[:, 2]
+    ):
+        return pal[idx, 0].copy()
+    return pal[idx][:, :, 2::-1].copy()  # BGRA quads -> RGB
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Uncompressed BMP -> pixel array ([h, w, 3] uint8 RGB for 24bpp,
-    [h, w] uint8 for 8bpp paletted/grayscale). From-scratch parse of the
-    public format (BITMAPFILEHEADER + BITMAPINFOHEADER): rows are stored
-    bottom-up and padded to 4-byte boundaries; 24bpp pixels are BGR.
+    """BMP -> pixel array ([h, w, 3] uint8 RGB for 24/32bpp and
+    color-paletted files, [h, w] uint8 for grayscale-paletted files).
+    From-scratch parse of the public format (BITMAPFILEHEADER +
+    BITMAPINFOHEADER): rows are stored bottom-up and padded to 4-byte
+    boundaries; pixels are BGR(X); 1/4/8bpp are palette indices
+    (MSB-first bit order for 1bpp, high nibble first for 4bpp); BI_RLE8
+    / BI_RLE4 compression is escape-coded runs (_bmp_rle_decode).
+    BI_BITFIELDS with nonstandard masks, and OS/2 headers, still raise.
     """
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
@@ -110,39 +182,45 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     width, height = struct.unpack_from("<ii", payload, 18)
     _planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression != 0:
-        raise NotImplementedError(f"compressed BMP (method {compression}) not supported")
-    if bpp not in (8, 24):
-        raise NotImplementedError(f"{bpp}bpp BMP not supported (8/24 only)")
+    if compression not in (0, 1, 2):
+        raise NotImplementedError(f"BMP compression method {compression} not supported")
+    if compression and (bpp, compression) not in ((8, 1), (4, 2)):
+        raise ValueError(f"BI_RLE{8 if compression == 1 else 4} requires "
+                         f"matching bpp, got {bpp}bpp")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise NotImplementedError(f"{bpp}bpp BMP not supported")
     bottom_up = height > 0
     height = abs(height)
-    row_bytes = (width * (bpp // 8) + 3) & ~3  # pad rows to 4 bytes
-    px = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * height,
-                       offset=data_offset).reshape(height, row_bytes)
-    if bottom_up:
-        px = px[::-1]
-    if bpp == 24:
-        bgr = px[:, : width * 3].reshape(height, width, 3)
-        return bgr[:, :, ::-1].copy()  # BGR -> RGB
-    # 8bpp: palette of BGRA quads sits between the DIB header and the data
-    n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+
+    if compression:  # RLE: always bottom-up per spec
+        idx = _bmp_rle_decode(payload[data_offset:], width, height, bpp)[::-1]
+    else:
+        row_bytes = ((width * bpp + 31) // 32) * 4  # pad rows to 4 bytes
+        px = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * height,
+                           offset=data_offset).reshape(height, row_bytes)
+        if bottom_up:
+            px = px[::-1]
+        if bpp == 24:
+            bgr = px[:, : width * 3].reshape(height, width, 3)
+            return bgr[:, :, ::-1].copy()  # BGR -> RGB
+        if bpp == 32:
+            bgrx = px.reshape(height, row_bytes // 4, 4)[:, :width]
+            return bgrx[:, :, 2::-1].copy()  # BGRX -> RGB
+        if bpp == 4:
+            nibbles = np.empty((height, row_bytes * 2), dtype=np.uint8)
+            nibbles[:, 0::2] = px >> 4
+            nibbles[:, 1::2] = px & 0xF
+            idx = nibbles[:, :width]
+        elif bpp == 1:
+            idx = np.unpackbits(px, axis=1)[:, :width]
+        else:
+            idx = px[:, :width]
+
+    # palette of BGRA quads sits between the DIB header and the data
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or (1 << bpp)
     pal = np.frombuffer(payload, dtype=np.uint8, count=n_colors * 4,
                         offset=14 + hdr_size).reshape(n_colors, 4)
-    idx = px[:, :width]
-    # only a grayscale palette (b==g==r for every USED entry) maps to a
-    # 2-D intensity array; a color palette must not silently decode to
-    # its blue channel — raise like the other unsupported-format paths
-    used = np.unique(idx)
-    used_pal = pal[used]
-    if not (
-        np.array_equal(used_pal[:, 0], used_pal[:, 1])
-        and np.array_equal(used_pal[:, 1], used_pal[:, 2])
-    ):
-        raise NotImplementedError(
-            "8bpp BMP with a non-grayscale palette not supported "
-            "(decode would need a [h, w, 3] palette lookup)"
-        )
-    return pal[idx, 0].copy()
+    return _bmp_palette_lookup(idx, pal)
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -169,6 +247,38 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(raw), 2835, 2835,
                       256 if gray else 0, 0)
     return header + dib + pal + raw
+
+
+def encode_bmp_rle8(pixels: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+    """8bpp BI_RLE8 BMP encoder — the round-trip twin of the RLE decode
+    path (used by tests; GDI-style stream: encoded runs per row, an
+    end-of-line escape after every row, end-of-bitmap at the end).
+    ``palette``: [n, 4] BGRA quads; defaults to the grayscale ramp."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    if palette is None:
+        pal = b"".join(struct.pack("<BBBB", v, v, v, 0) for v in range(256))
+        n_colors = 256
+    else:
+        pal = np.asarray(palette, dtype=np.uint8).tobytes()
+        n_colors = len(palette)
+    stream = bytearray()
+    for row in px[::-1]:  # stored bottom-up (the only RLE order)
+        j = 0
+        while j < w:
+            v = row[j]
+            k = j
+            while k < w and row[k] == v and k - j < 255:
+                k += 1
+            stream += bytes((k - j, v))
+            j = k
+        stream += b"\x00\x00"  # end of line
+    stream += b"\x00\x01"  # end of bitmap
+    data_offset = 14 + 40 + len(pal)
+    header = b"BM" + struct.pack("<IHHI", data_offset + len(stream), 0, 0, data_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream), 2835, 2835,
+                      n_colors, 0)
+    return header + dib + pal + bytes(stream)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -82,11 +82,16 @@ def test_bmp_golden_layout():
     assert raw[62:68] == bytes([0, 0, 255, 0, 255, 0])  # red px, green px
 
 
-def test_bmp_rejects_compression():
+def test_bmp_rejects_unsupported_compression():
     raw = bytearray(M.encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8)))
-    struct.pack_into("<I", raw, 30, 1)  # BI_RLE8
+    struct.pack_into("<I", raw, 30, 3)  # BI_BITFIELDS: honest gap
     with pytest.raises(NotImplementedError):
         M.decode_bmp(bytes(raw))
+    # RLE method on a mismatched bit depth is malformed, not a gap
+    raw2 = bytearray(M.encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8)))
+    struct.pack_into("<I", raw2, 30, 1)  # BI_RLE8 on 24bpp
+    with pytest.raises(ValueError):
+        M.decode_bmp(bytes(raw2))
 
 
 # ------------------------------------------------------------- WAV codec
@@ -181,15 +186,17 @@ def test_media_table_real_rows_decode(spark, media):
             assert sr == r["meta"]["sample_rate"] and len(s) == sr // 10
 
 
-def test_bmp_color_palette_raises():
-    """8bpp BMP with a COLOR palette must raise (not silently return the
-    blue channel); an unused color entry must not trip the guard."""
+def test_bmp_color_palette_expands_to_rgb():
+    """8bpp BMP with a COLOR palette expands to [h, w, 3] RGB via the
+    palette lookup (BGRA quads -> RGB); an unused color entry must not
+    flip a grayscale image to 3-D."""
     img = np.full((4, 4), 7, dtype=np.uint8)
     raw = bytearray(M.encode_bmp(img))
-    off = 14 + 40 + 7 * 4  # palette entry 7 (used by every pixel)
+    off = 14 + 40 + 7 * 4  # palette entry 7 (used by every pixel), BGRA
     raw[off:off + 3] = bytes([10, 20, 30])
-    with pytest.raises(NotImplementedError):
-        M.decode_bmp(bytes(raw))
+    px = M.decode_bmp(bytes(raw))
+    assert px.shape == (4, 4, 3)
+    assert (px == np.array([30, 20, 10], dtype=np.uint8)).all()
 
     raw2 = bytearray(M.encode_bmp(img))
     off2 = 14 + 40 + 9 * 4  # entry 9 is unused
@@ -398,3 +405,112 @@ def test_image_dispatch_png():
     for i in range(6):
         px = M.decode_png(M._fake_png(i))
         assert px.shape[0] >= 16 and px.shape[1] >= 24
+
+
+# ------------------------------------------------- BMP: RLE + deep bpp
+
+
+def _bmp_container(width, height, bpp, compression, pal: bytes, data: bytes):
+    data_offset = 14 + 40 + len(pal)
+    header = b"BM" + struct.pack("<IHHI", data_offset + len(data), 0, 0,
+                                 data_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, compression,
+                      len(data), 2835, 2835, len(pal) // 4, 0)
+    return header + dib + pal + data
+
+
+def _gray_quads(n, step):
+    return b"".join(struct.pack("<BBBB", v * step, v * step, v * step, 0)
+                    for v in range(n))
+
+
+def test_bmp_rle8_roundtrip():
+    """Blocky image (runs > 255 force the encoder's run splitting) survives
+    encode_bmp_rle8 -> decode_bmp exactly."""
+    rng = np.random.default_rng(7)
+    img = np.repeat(rng.integers(0, 256, size=(9, 40), dtype=np.uint8),
+                    16, axis=1)  # 640 wide: runs of 16, many values
+    img[3, :] = 200  # one full-row 640-long run: must split at 255
+    back = M.decode_bmp(M.encode_bmp_rle8(img))
+    assert back.shape == img.shape
+    assert (back == img).all()
+
+
+def test_bmp_rle8_color_palette():
+    idx = np.array([[0, 1, 1], [2, 2, 0]], dtype=np.uint8)
+    pal = np.array([[255, 0, 0, 0],     # BGRA: blue
+                    [0, 255, 0, 0],     # green
+                    [0, 0, 255, 0]],    # red
+                   dtype=np.uint8)
+    px = M.decode_bmp(M.encode_bmp_rle8(idx, palette=pal))
+    assert px.shape == (2, 3, 3)
+    assert (px[0, 0] == [0, 0, 255]).all()    # blue -> RGB
+    assert (px[0, 1] == [0, 255, 0]).all()
+    assert (px[1, 0] == [255, 0, 0]).all()    # red -> RGB
+
+
+def test_bmp_rle8_spec_vector():
+    """The documented Windows GDI RLE8 example (MS 'Bitmap Compression',
+    BITMAPINFOHEADER docs): encoded runs, an absolute run with its pad
+    byte, a delta, EOL and EOB — decoded against the hand-expanded
+    grid, independent of this module's own encoder."""
+    stream = bytes([
+        0x03, 0x04, 0x05, 0x06,                   # 04x3, 06x5
+        0x00, 0x03, 0x45, 0x56, 0x67, 0x00,       # absolute 45 56 67 + pad
+        0x02, 0x78,                               # 78x2
+        0x00, 0x02, 0x05, 0x01,                   # delta right 5, up 1
+        0x02, 0x78,                               # 78x2
+        0x00, 0x00,                               # end of line
+        0x09, 0x1E,                               # 1Ex9
+        0x00, 0x01,                               # end of bitmap
+    ])
+    payload = _bmp_container(20, 3, 8, 1, _gray_quads(256, 1), stream)
+    px = M.decode_bmp(payload)
+    row_bottom = [4, 4, 4, 6, 6, 6, 6, 6, 0x45, 0x56, 0x67, 0x78, 0x78,
+                  0, 0, 0, 0, 0, 0, 0]
+    row_mid = [0] * 18 + [0x78, 0x78]
+    row_top = [0x1E] * 9 + [0] * 11
+    assert px.shape == (3, 20)
+    assert px.tolist() == [row_top, row_mid, row_bottom]
+
+
+def test_bmp_rle4_hand_built():
+    stream = bytes([
+        0x05, 0x25,                    # 2,5,2,5,2
+        0x00, 0x03, 0xD4, 0xA0,        # absolute D,4,A (2 bytes, no pad)
+        0x00, 0x00,                    # end of line
+        0x08, 0x3C,                    # 3,C x4
+        0x00, 0x01,                    # end of bitmap
+    ])
+    payload = _bmp_container(8, 2, 4, 2, _gray_quads(16, 17), stream)
+    px = M.decode_bmp(payload)
+    bottom = np.array([2, 5, 2, 5, 2, 0xD, 0x4, 0xA]) * 17
+    top = np.array([3, 0xC] * 4) * 17
+    assert px.shape == (2, 8)
+    assert (px == np.stack([top, bottom])).all()
+
+
+def test_bmp_4bpp_and_1bpp_uncompressed():
+    # 4bpp, 5x2: rows stored bottom-up, high nibble first, 4-byte pad
+    data4 = bytes([0x67, 0x89, 0xA0, 0x00,    # bottom row 6,7,8,9,A
+                   0x12, 0x34, 0x50, 0x00])   # top row 1,2,3,4,5
+    px4 = M.decode_bmp(_bmp_container(5, 2, 4, 0, _gray_quads(16, 17), data4))
+    assert (px4 == np.array([[1, 2, 3, 4, 5], [6, 7, 8, 9, 10]]) * 17).all()
+
+    # 1bpp, 10x2: MSB-first bits
+    data1 = bytes([0x70, 0x80, 0, 0,          # bottom 0111000010
+                   0xAA, 0xC0, 0, 0])         # top    1010101011
+    pal1 = struct.pack("<BBBB", 0, 0, 0, 0) + struct.pack("<BBBB", 255, 255, 255, 0)
+    px1 = M.decode_bmp(_bmp_container(10, 2, 1, 0, pal1, data1))
+    assert (px1 == np.array([[1, 0, 1, 0, 1, 0, 1, 0, 1, 1],
+                             [0, 1, 1, 1, 0, 0, 0, 0, 1, 0]]) * 255).all()
+
+
+def test_bmp_32bpp_uncompressed():
+    # 2x2 BGRX, bottom-up
+    data = bytes([90, 80, 70, 0, 120, 110, 100, 0,    # bottom row
+                  30, 20, 10, 0, 60, 50, 40, 0])      # top row
+    px = M.decode_bmp(_bmp_container(2, 2, 32, 0, b"", data))
+    expect = np.array([[[10, 20, 30], [40, 50, 60]],
+                       [[70, 80, 90], [100, 110, 120]]], dtype=np.uint8)
+    assert (px == expect).all()
