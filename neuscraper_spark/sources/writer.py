@@ -53,6 +53,40 @@ from pyspark.sql.types import StructType
 NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _file_column_stats(fmeta) -> dict:
+    """Per-column {min, max, has_null} from a parquet footer's row-group
+    statistics (metadata-only — the same bytes Iceberg's manifests carry
+    for file skipping). Only JSON-safe scalar types are kept; columns
+    without usable stats are simply absent, which readers must treat as
+    'cannot prune'. Parquet string bounds may be truncated by writers —
+    truncation preserves bound validity (min stays <=, max stays >=)."""
+    out: dict[str, dict] = {}
+    for rg in range(fmeta.num_row_groups):
+        row_group = fmeta.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                out[col.path_in_schema] = None  # unusable for pruning
+                continue
+            mn, mx = st.min, st.max
+            if not all(isinstance(v, (int, float, str, bool)) for v in (mn, mx)):
+                out[col.path_in_schema] = None
+                continue
+            prev = out.get(col.path_in_schema)
+            if prev is None and col.path_in_schema in out:
+                continue  # an earlier row group already disqualified it
+            nulls = bool(st.null_count) if st.has_null_count else True
+            if prev is None:
+                out[col.path_in_schema] = {"min": mn, "max": mx,
+                                           "has_null": nulls}
+            else:
+                prev["min"] = min(prev["min"], mn)
+                prev["max"] = max(prev["max"], mx)
+                prev["has_null"] = prev["has_null"] or nulls
+    return {k: v for k, v in out.items() if v is not None}
+
+
 @dataclass
 class TableWriter:
     root: str
@@ -286,7 +320,8 @@ class TableWriter:
                 if fn.endswith(".parquet"):
                     fmeta = pq.ParquetFile(os.path.join(pdir, fn)).metadata
                     n_rows += fmeta.num_rows
-                    files.append({"file": fn, "rows": fmeta.num_rows})
+                    files.append({"file": fn, "rows": fmeta.num_rows,
+                                  "stats": _file_column_stats(fmeta)})
             metrics[p] = {"n_rows": n_rows, "files": files}
 
         # commit manifests AFTER the data lands (write tmp, fsync,
@@ -369,6 +404,39 @@ class TableWriter:
         partition column's original type) even when no partition is
         committed yet."""
         self._finish_compaction()  # a crashed compact() must not hide rows
+        reg, target_id, done = self._visible(snapshot_id)
+        saved = self.schema_as_of(target_id) if reg is not None else None
+        if not done:
+            if saved is not None:
+                return spark.createDataFrame([], schema=saved)
+            return spark.createDataFrame([], schema=f"{self.partition_col} string")
+        if saved is None:
+            # no schema log (foreign table): single inferred scan
+            return spark.read.parquet(self.data_dir).filter(self._pstr().isin(*done))
+
+        default_of = self._defaults()
+        parts = []
+        for sid, ps in sorted(self._group_by_schema(done).items()):
+            # clamp: under time-travel a column added after target_id
+            # must not leak in even if the file physically has it
+            gschema = self.schema_as_of(min(sid, target_id))
+            # explicit per-generation schema: no footer inference (the
+            # dir mixes generations), and the partition column keeps
+            # its written type instead of hive-dir re-inference
+            scan = (
+                spark.read.schema(gschema)
+                .parquet(self.data_dir)
+                .filter(self._pstr().isin(*ps))
+            )
+            parts.append(self._project_to(scan, gschema, saved, default_of))
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
+        return df
+
+    def _visible(self, snapshot_id: int | None) -> tuple[dict | None, int | None, set]:
+        """(schema registry, target schema id, visible partitions) for a
+        read — current table state, or as-of ``snapshot_id``."""
         reg = self._load_schema_registry()
         target_id = reg["current_id"] if reg is not None else None
         done = self.committed_partitions()
@@ -389,54 +457,122 @@ class TableWriter:
             done = wanted
             # pre-evolution snapshots carry no schema_id: current stands
             target_id = snaps[snapshot_id].get("schema_id", target_id)
-        saved = self.schema_as_of(target_id) if reg is not None else None
-        if not done:
-            if saved is not None:
-                return spark.createDataFrame([], schema=saved)
-            return spark.createDataFrame([], schema=f"{self.partition_col} string")
-        if saved is None:
-            # no schema log (foreign table): single inferred scan
-            return spark.read.parquet(self.data_dir).filter(self._pstr().isin(*done))
+        return reg, target_id, done
 
-        # group partitions by the generation that wrote them (committed
-        # partitions are immutable, so the manifest's schema_id is the
-        # file truth); pre-evolution manifests are generation 0
+    def _group_by_schema(self, done: set) -> dict[int, list[str]]:
+        """Group partitions by the generation that wrote them (committed
+        partitions are immutable, so the manifest's schema_id is the
+        file truth); pre-evolution manifests are generation 0."""
         by_sid: dict[int, list[str]] = {}
         for p in done:
             with open(self._manifest_path(p)) as f:
                 sid = json.load(f)["lineage"].get("schema_id", 0)
             by_sid.setdefault(sid, []).append(p)
+        return by_sid
 
-        # column -> initial-default from the generation that added it
-        default_of = {}
-        for gen in reg["schemas"]:
+    def _defaults(self) -> dict:
+        """column -> initial-default from the generation that added it."""
+        reg = self._load_schema_registry()
+        default_of: dict = {}
+        for gen in (reg or {}).get("schemas", []):
             default_of.update(gen.get("defaults", {}))
+        return default_of
 
+    @staticmethod
+    def _project_to(scan: DataFrame, gschema: StructType, saved: StructType,
+                    default_of: dict) -> DataFrame:
+        have = {f.name for f in gschema.fields}
+        return scan.select(*[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in have
+            else F.lit(default_of.get(f.name)).cast(f.dataType).alias(f.name)
+            for f in saved.fields
+        ])
+
+    # ------------------------------------------------------- file skipping
+
+    def prune_files(self, col: str, lo=None, hi=None,
+                    snapshot_id: int | None = None) -> dict:
+        """Manifest-level file skipping (Iceberg's min/max pruning): the
+        data files whose footer stats could contain ``lo <= col <= hi``,
+        grouped by schema generation. Files without usable stats for
+        ``col`` are kept (cannot-prune is conservative); files from
+        generations that predate an evolved column hold its
+        initial-default in every row, so they survive iff the default
+        itself is in range. Returns {"groups": {sid: [paths]},
+        "files_total": n, "files_kept": k}."""
+        _, target_id, done = self._visible(snapshot_id)
+        pdirs = self._data_partitions()
+        groups: dict[int, list[str]] = {}
+        total = kept = 0
+        default_of = self._defaults()
+        for sid, ps in self._group_by_schema(done).items():
+            sid = min(sid, target_id) if target_id is not None else sid
+            gschema = self.schema_as_of(sid)
+            in_gen = gschema is None or col in {f.name for f in gschema.fields}
+            for p in ps:
+                with open(self._manifest_path(p)) as f:
+                    manifest = json.load(f)
+                for finfo in manifest["lineage"]["files"]:
+                    total += 1
+                    if in_gen:
+                        st = finfo.get("stats", {}).get(col)
+                        keep = st is None or (
+                            (lo is None or st["max"] >= lo)
+                            and (hi is None or st["min"] <= hi)
+                        )
+                    else:
+                        d = default_of.get(col)
+                        keep = d is not None and (
+                            (lo is None or d >= lo) and (hi is None or d <= hi)
+                        )
+                    if keep:
+                        kept += 1
+                        groups.setdefault(sid, []).append(
+                            os.path.join(pdirs[p], finfo["file"])
+                        )
+        return {"groups": groups, "files_total": total, "files_kept": kept}
+
+    def read_pruned(self, spark: SparkSession, col: str, lo=None, hi=None,
+                    snapshot_id: int | None = None) -> DataFrame:
+        """Range scan with manifest file skipping: only the files
+        ``prune_files`` keeps are listed to Spark (basePath preserves
+        hive partition parsing), then the row-level ``between`` filter
+        runs on top — skipping is an optimization, never a semantic.
+        Equivalent to ``read(...).filter(col between lo and hi)`` by
+        construction; the win is planning/IO on a 100 TB table where
+        the predicate touches a sliver of files."""
+        reg, target_id, done = self._visible(snapshot_id)
+        saved = self.schema_as_of(target_id) if reg is not None else None
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        pruned = self.prune_files(col, lo, hi, snapshot_id=snapshot_id)
+        if not done or not pruned["files_kept"]:
+            if saved is not None:
+                return spark.createDataFrame([], schema=saved)
+            return spark.createDataFrame([], schema=f"{self.partition_col} string")
+        default_of = self._defaults()
         parts = []
-        for sid, ps in sorted(by_sid.items()):
-            # clamp: under time-travel a column added after target_id
-            # must not leak in even if the file physically has it
-            gschema = self.schema_as_of(min(sid, target_id))
-            have = {f.name for f in gschema.fields}
-            # explicit per-generation schema: no footer inference (the
-            # dir mixes generations), and the partition column keeps
-            # its written type instead of hive-dir re-inference
+        for sid, paths in sorted(pruned["groups"].items()):
+            gschema = self.schema_as_of(sid) if reg is not None else None
+            if gschema is None:  # foreign table: inferred scan
+                parts.append(
+                    spark.read.option("basePath", self.data_dir).parquet(*paths)
+                )
+                continue
             scan = (
                 spark.read.schema(gschema)
-                .parquet(self.data_dir)
-                .filter(self._pstr().isin(*ps))
+                .option("basePath", self.data_dir)
+                .parquet(*paths)
             )
-            cols = [
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in have
-                else F.lit(default_of.get(f.name)).cast(f.dataType).alias(f.name)
-                for f in saved.fields
-            ]
-            parts.append(scan.select(*cols))
+            parts.append(self._project_to(scan, gschema, saved, default_of))
         df = parts[0]
         for extra in parts[1:]:
             df = df.unionByName(extra)
-        return df
+        return df.filter(cond)
 
     def partition_metrics(self) -> dict[str, dict]:
         out = {}
@@ -524,7 +660,8 @@ class TableWriter:
                 if fn.endswith(".parquet"):
                     meta = pq.ParquetFile(os.path.join(tmp, fn)).metadata
                     n_rows += meta.num_rows
-                    new_files.append({"file": fn, "rows": meta.num_rows})
+                    new_files.append({"file": fn, "rows": meta.num_rows,
+                                      "stats": _file_column_stats(meta)})
             if n_rows != old_manifest["metrics"]["n_rows"]:
                 shutil.rmtree(tmp)
                 raise RuntimeError(

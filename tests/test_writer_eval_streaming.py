@@ -553,3 +553,134 @@ def test_writer_legacy_bare_schema_file_upgrades(spark, docs_df, tmp_path):
     got = {r["bucket"]: r["v"] for r in w.read(spark).select(
         "bucket", "v").distinct().collect()}
     assert got == {"0": -1, "1": 1}
+
+
+# ------------------------------------------------- manifest file skipping
+
+
+@pytest.fixture()
+def ranged_df(spark):
+    """4 buckets with disjoint doc_id ranges (0-24, 25-49, ...) so
+    min/max pruning has real teeth."""
+    return spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") / 25).cast("int").cast("string").alias("bucket"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+
+
+def test_manifest_carries_file_stats(spark, ranged_df, tmp_path):
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(ranged_df)
+    m = w.partition_metrics()
+    st = m["0"]["lineage"]["files"][0]["stats"]
+    assert st["doc_id"]["min"] == 0 and st["doc_id"]["max"] == 24
+    assert st["doc_id"]["has_null"] is False
+    assert st["text"]["min"].startswith("text-")
+
+
+def test_prune_files_skips_out_of_range(spark, ranged_df, tmp_path):
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(ranged_df)
+    pr = w.prune_files("doc_id", lo=30, hi=40)
+    assert pr["files_total"] > pr["files_kept"]
+    kept = [p for ps in pr["groups"].values() for p in ps]
+    assert all("bucket=1" in p for p in kept)  # only 25-49 can match
+    # open-ended bounds
+    assert w.prune_files("doc_id", lo=75)["files_kept"] < pr["files_total"]
+    assert w.prune_files("doc_id")["files_kept"] == pr["files_total"]
+
+
+def test_read_pruned_equals_filtered_read(spark, ranged_df, tmp_path):
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(ranged_df)
+    got = w.read_pruned(spark, "doc_id", lo=10, hi=60).toPandas()
+    want = (w.read(spark).filter("doc_id between 10 and 60")).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        want.sort_values("doc_id").reset_index(drop=True),
+    )
+    # empty range -> empty df with the table schema, no files listed
+    none = w.read_pruned(spark, "doc_id", lo=1000)
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == ["doc_id", "bucket", "text"]
+
+
+def test_prune_is_conservative_without_stats(spark, ranged_df, tmp_path):
+    """Legacy manifests (pre-stats) must never be skipped."""
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(ranged_df)
+    # strip the stats from one manifest, as an old writer would have left it
+    mp = w._manifest_path("0")
+    with open(mp) as f:
+        man = json.load(f)
+    for finfo in man["lineage"]["files"]:
+        finfo.pop("stats", None)
+    with open(mp, "w") as f:
+        json.dump(man, f)
+    pr = w.prune_files("doc_id", lo=90, hi=99)  # only bucket 3 matches...
+    kept = [p for ps in pr["groups"].values() for p in ps]
+    # ...but the stat-less bucket-0 files must survive too
+    assert any("bucket=0" in p for p in kept)
+    assert any("bucket=3" in p for p in kept)
+    assert not any("bucket=1" in p or "bucket=2" in p for p in kept)
+    got = w.read_pruned(spark, "doc_id", lo=90, hi=99)
+    assert got.count() == 10  # row-level filter still exact
+
+
+def test_prune_files_across_schema_evolution(spark, ranged_df, tmp_path):
+    """Pruning on a column added by evolution: pre-evolution files hold
+    the initial-default in every row, so they survive iff the default is
+    in range."""
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(ranged_df.filter("bucket in ('0','1')"))
+    w.write(ranged_df.filter("bucket in ('2','3')")
+            .withColumn("stars", (F.col("doc_id") % 5).cast("int")),
+            evolve=True, defaults={"stars": 99})
+    # default 99 out of [0,5] -> old-generation files pruned entirely
+    pr = w.prune_files("stars", lo=0, hi=5)
+    kept = [p for ps in pr["groups"].values() for p in ps]
+    assert kept and not any("bucket=0" in p or "bucket=1" in p for p in kept)
+    got = w.read_pruned(spark, "stars", lo=0, hi=5).toPandas()
+    want = w.read(spark).filter("stars between 0 and 5").toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        want.sort_values("doc_id").reset_index(drop=True),
+    )
+    # default IN range -> old files kept and defaults materialize
+    pr99 = w.prune_files("stars", lo=99)
+    kept99 = [p for ps in pr99["groups"].values() for p in ps]
+    assert any("bucket=0" in p for p in kept99)
+    assert w.read_pruned(spark, "stars", lo=99).count() == 50
+
+
+def test_read_pruned_time_travel(spark, ranged_df, tmp_path):
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    s0 = w.write(ranged_df.filter("bucket in ('0','1')"))
+    w.write(ranged_df.filter("bucket in ('2','3')")
+            .withColumn("lang", F.lit("en")), evolve=True,
+            defaults={"lang": "und"})
+    old = w.read_pruned(spark, "doc_id", lo=30, hi=99,
+                        snapshot_id=s0["snapshot_id"])
+    # old snapshot: only buckets 0-1 visible, old schema, rows 30-49
+    assert [f.name for f in old.schema.fields] == ["doc_id", "bucket", "text"]
+    assert old.count() == 20
+    # current read sees all four buckets and the evolved column
+    assert w.read_pruned(spark, "doc_id", lo=30, hi=99).count() == 70
+
+
+def test_compacted_manifest_keeps_stats(spark, tmp_path):
+    df = spark.range(0, 200, 1, 16).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") / 50).cast("int").cast("string").alias("bucket"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    w = TableWriter(str(tmp_path / "t"), partition_col="bucket")
+    w.write(df)
+    w.compact(spark)
+    m = w.partition_metrics()
+    st = m["0"]["lineage"]["files"][0]["stats"]["doc_id"]
+    assert st["min"] == 0 and st["max"] == 49
+    pr = w.prune_files("doc_id", lo=60, hi=70)
+    kept = [p for ps in pr["groups"].values() for p in ps]
+    assert kept and all("bucket=1" in p for p in kept)
