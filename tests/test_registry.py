@@ -19,11 +19,21 @@ def _registry():
 
 
 def test_registry_fits_driver_window():
-    queries, _ = _registry()
-    assert len(queries) <= DRIVER_WINDOW, (
-        f"{len(queries)} registered queries exceed the driver's "
-        f"{DRIVER_WINDOW}-row correctness window; consolidate same-oracle "
-        "entries (variant-tagged unions) before registering more"
+    """Every oracle-backed query AND the flagship rows-only entry must
+    sit inside the driver's 50-row window (r4 VERDICT sanctioned <=1
+    rows-only row in-window when the window is full)."""
+    queries, oracles = _registry()
+    names = list(queries)
+    oracle_backed = [n for n in names if n in oracles]
+    assert len(oracle_backed) + 1 <= DRIVER_WINDOW, (
+        f"{len(oracle_backed)} oracle-backed queries leave no room for the "
+        f"flagship rows-only entry in the driver's {DRIVER_WINDOW}-row "
+        "window; consolidate same-oracle entries (variant-tagged unions)"
+    )
+    in_window = set(names[:DRIVER_WINDOW])
+    assert set(oracle_backed) <= in_window
+    assert "pipeline_curate" in in_window, (
+        "the flagship's rows-only row rotated out of the driver window"
     )
 
 
