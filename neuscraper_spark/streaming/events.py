@@ -95,3 +95,65 @@ def session_sums(stream: DataFrame, gap: str = "30 minutes",
 def batch_session_sums(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """The batch twin the session stream must agree with."""
     return _session_agg(events, gap)
+
+
+def _attribution_join(clicks: DataFrame, views: DataFrame,
+                      join_window: str) -> DataFrame:
+    """Shared shape for the streaming and batch interval joins: each
+    view within ``join_window`` AFTER a click by the same user (the
+    classic attribution join; the batch ``t2_range_join`` registry
+    query pins the same range-predicate semantics on DuckDB)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts"))
+        & (F.col("view_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {join_window}"))
+    )
+    return c.join(v, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "view_id",
+        "click_ts",
+        "view_ts",
+        "view_value",
+    )
+
+
+def interval_join(stream: DataFrame, join_window: str = "10 minutes",
+                  watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join (append mode): both sides are
+    watermarked and the join carries an event-time range bound, so
+    Spark can evict buffered rows once the other side's watermark
+    passes ``ts + join_window`` — state stays bounded by
+    (watermark + join_window) x arrival rate instead of growing with
+    the corpus. Rows later than the watermark are dropped, exactly the
+    documented stream-stream inner-join contract; the bounded-state
+    test pins that every emitted pair is a batch pair and every pair
+    closed well before the final watermark does emit."""
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark(
+        "ts", watermark
+    )
+    views = stream.filter(F.col("event_type") == "view").withWatermark(
+        "ts", watermark
+    )
+    return _attribution_join(clicks, views, join_window)
+
+
+def batch_interval_join(events: DataFrame,
+                        join_window: str = "10 minutes") -> DataFrame:
+    """The batch twin the streaming interval join must agree with."""
+    return _attribution_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "view"),
+        join_window,
+    )

@@ -684,3 +684,107 @@ def test_compacted_manifest_keeps_stats(spark, tmp_path):
     pr = w.prune_files("doc_id", lo=60, hi=70)
     kept = [p for ps in pr["groups"].values() for p in ps]
     assert kept and all("bucket=1" in p for p in kept)
+
+
+# ------------------------------------------------- stream-stream interval join
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """With a watermark wider than the corpus span nothing is evicted,
+    so the stream-stream interval join must equal the batch twin
+    exactly, across multiple micro-batches and any file arrival order."""
+    from neuscraper_spark.streaming.events import (
+        batch_interval_join,
+        interval_join,
+        read_event_stream,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    in_dir = str(tmp_path / "in")
+    spark.read.parquet(src).repartition(6).write.parquet(in_dir)
+
+    joined = interval_join(
+        read_event_stream(spark, in_dir),
+        join_window="12 hours",
+        watermark="40 days",  # > corpus span: no eviction, exact equality
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ev_ij_full")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = ["click_id", "view_id"]
+    got = (
+        spark.table("ev_ij_full").toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    want = (
+        batch_interval_join(spark.read.parquet(in_dir), join_window="12 hours")
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_interval_join_bounded_state_emits_closed_pairs(spark, tmp_path):
+    """Production setting (2h watermark << 30-day corpus): every emitted
+    pair is a batch pair, emitted once; every pair whose window closed
+    well before the final watermark DID emit (state is really flushed);
+    and with time-ordered ingestion nothing legitimate is dropped."""
+    import os
+
+    from neuscraper_spark.streaming.events import (
+        batch_interval_join,
+        interval_join,
+        read_event_stream,
+    )
+
+    import time
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    events = spark.read.parquet(src).toPandas().sort_values("ts")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # sequential time slices with increasing mtimes -> in-order arrival
+    n_slices = 5
+    per = -(-len(events) // n_slices)
+    for i in range(n_slices):
+        events.iloc[i * per:(i + 1) * per].to_parquet(
+            os.path.join(in_dir, f"slice_{i:03d}.parquet"),
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        time.sleep(0.05)
+
+    joined = interval_join(
+        read_event_stream(spark, in_dir),
+        join_window="12 hours",
+        watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ev_ij_bounded")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = ["click_id", "view_id"]
+    got = (
+        spark.table("ev_ij_bounded").toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    want = (
+        batch_interval_join(spark.read.parquet(in_dir), join_window="12 hours")
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    assert len(want) > 0
+    assert not got.duplicated(subset=key).any()
+    merged = got.merge(want, on=list(got.columns), how="left", indicator=True)
+    assert (merged["_merge"] == "both").all(), "emitted a non-batch pair"
+    # in-order arrival + watermark >> join window: nothing legitimate dropped
+    pd.testing.assert_frame_equal(got, want)
