@@ -1,0 +1,151 @@
+"""C4-style line-level cleaning + URL canonicalization — the two
+document-curation stages that sit beside the Gopher repetition rules
+(operators/repetition.py) in a web-corpus pipeline.
+
+Public sources for the semantics: Raffel et al. 2020 (C4, §2.2 — keep
+lines ending in terminal punctuation with enough words, drop
+"javascript" lines, drop pages containing "lorem ipsum" or a curly
+brace) and the standard URL-canonicalization steps every crawl dedup
+applies (lowercase, scheme/www strip, query strip, trailing-slash
+strip). The reference pipeline extracts at node level; these are the
+downstream page-level curation stages re-expressed as native Catalyst
+plans.
+
+Pinned semantics, mirrored exactly by the DuckDB oracles in
+queries.py (q_c4_lines / q_url_dedup):
+
+* line = element of split(text, '\\n'), trimmed; empty lines dropped.
+* a line is KEPT iff it ends in one of ``. ! ? "``, has >= 5
+  whitespace-delimited words (``\\S+`` count), and does not contain
+  "javascript" (case-insensitive).
+* ``clean_text`` = kept lines re-joined with '\\n' in original order
+  ('' when nothing survives).
+* page flags: ``has_lorem`` ("lorem ipsum" in lowered text),
+  ``has_brace`` ('{' anywhere). ``page_pass`` = at least
+  ``min_kept_lines`` kept lines AND neither flag (C4 uses >= 3
+  sentences at corpus scale; the fixture default is 1 so both branches
+  are populated at sf0.01 — callers pass their own threshold).
+* url_norm = lowercase -> strip ^https?:// -> strip ^www. -> strip
+  ?query -> strip trailing /.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TERMINAL_PUNCT_RE = '[.!?"]$'
+MIN_LINE_WORDS = 5
+LINE_BLOCKLIST = "javascript"
+
+
+def c4_line_filter(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_kept_lines: int = 1) -> DataFrame:
+    """One row per input row: (id, n_lines_kept, clean_text, has_lorem,
+    has_brace, page_pass).
+
+    Plan shape: posexplode -> native line predicates -> one id-keyed
+    agg that re-assembles kept lines in order (array_sort inside the
+    agg — the A1 flagship pattern, shuffle-order independent). The
+    page flags ride the original row, so the only exchange is the
+    id-keyed agg."""
+    lines = (
+        df.select(id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_l"))
+        .select(id_col, "_pos", F.trim("_l").alias("_l"))
+        .filter(F.col("_l") != "")
+    )
+    kept = lines.filter(
+        F.col("_l").rlike(TERMINAL_PUNCT_RE)
+        & (F.regexp_count(F.col("_l"), F.lit(r"\S+")) >= MIN_LINE_WORDS)
+        & (F.instr(F.lower("_l"), LINE_BLOCKLIST) == 0)
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_l"))),
+                lambda x: x["_l"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    out = (
+        df.withColumn("has_lorem", F.instr(F.lower(text_col), "lorem ipsum") > 0)
+        .withColumn("has_brace", F.instr(F.col(text_col), "{") > 0)
+        .join(agg, id_col, "left")
+        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
+        .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
+    )
+    return out.withColumn(
+        "page_pass",
+        (F.col("n_lines_kept") >= min_kept_lines)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace"),
+    )
+
+
+def with_url_norm(df: DataFrame, url_col: str = "url",
+                  out_col: str = "url_norm") -> DataFrame:
+    """Canonical URL column: lowercase, scheme/www/query/trailing-slash
+    stripped. Pure codegen — four regexp_replace steps, no Python."""
+    c = F.lower(F.col(url_col))
+    c = F.regexp_replace(c, "^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, r"\?.*$", "")
+    c = F.regexp_replace(c, "/+$", "")
+    return df.withColumn(out_col, c)
+
+
+def url_dedup(df: DataFrame, id_col: str = "doc_id",
+              url_col: str = "url") -> DataFrame:
+    """Exact URL-level dedup: one row per canonical URL with the kept
+    representative (min id — deterministic) and the duplicate count.
+    A (url_norm)-keyed hash agg: the D1 shape on the canonical key."""
+    return (
+        with_url_norm(df, url_col)
+        .groupBy("url_norm")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# single-process twins (pytest parity)
+# ---------------------------------------------------------------------------
+
+
+def c4_line_filter_py(text: str, min_kept_lines: int = 1) -> dict:
+    kept = []
+    for ln in text.split("\n"):
+        ln = ln.strip()
+        if not ln:
+            continue
+        if (
+            re.search(TERMINAL_PUNCT_RE, ln)
+            and len(re.findall(r"\S+", ln)) >= MIN_LINE_WORDS
+            and LINE_BLOCKLIST not in ln.lower()
+        ):
+            kept.append(ln)
+    has_lorem = "lorem ipsum" in text.lower()
+    has_brace = "{" in text
+    return {
+        "n_lines_kept": len(kept),
+        "clean_text": "\n".join(kept),
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "page_pass": len(kept) >= min_kept_lines and not has_lorem and not has_brace,
+    }
+
+
+def url_norm_py(url: str) -> str:
+    u = url.lower()
+    u = re.sub("^https?://", "", u)
+    u = re.sub(r"^www\.", "", u)
+    u = re.sub(r"\?.*$", "", u)
+    u = re.sub("/+$", "", u)
+    return u

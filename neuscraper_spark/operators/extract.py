@@ -4,15 +4,21 @@ Rebuilds the reference's preprocessing + scoring + assembly chain
 (src/warc/build.py -> src/scraper/commoncrawl.py -> src/warc/get_text.py;
 SURVEY.md §3.1-3.2) as a declarative DataFrame plan:
 
-    web_pages ──parse_nodes (mapInPandas, T1/T2/F4/F5/T4/T5/T3)──> nodes
-    nodes ──group (url, chunk_id) [shuffle 1]──> chunks
+    web_pages ──parse_chunks (mapInPandas, T1/T2/F4/F5/T4/T5/T3)──> chunks
     chunks ──score_nodes (mapInPandas, M1, broadcast weights)──> scored
     scored ──filter θ=0.9, node_id!=0, text!='' (F6/F9/J1-fused)──> kept
-    kept ──groupBy(url) ordered concat (A1/W1) [shuffle 2]──> extracted
+    kept ──groupBy(url) ordered concat (A1/W1) [the ONE shuffle]──> extracted
 
 Scale notes (100 TB design):
 
-- Exactly **two shuffles**, both keyed by url. The reference's J1 join
+- Exactly **one shuffle**, keyed by url, carrying only the kept
+  (url, node_id, text) rows. Chunking is narrow (``parse_chunks``):
+  ``chunk_id`` derives per page, so the r1-r4 ``groupBy(url, chunk_id)``
+  exchange moved bytes that were already task-local — the sf1 event log
+  measured it at 136% of the corpus' uncompressed html payload
+  (BENCH r5). ``parse_nodes``/``chunk_nodes`` remain as the general
+  node-table operators.
+- The reference's J1 join
   (predictions ⟕ text_nodes on (Url, TextNodeId), get_text.py:6-8) is
   *fused away*: node text rides through the chunk structs, and
   ``text != ''`` reproduces the join+dropna semantics exactly — the
@@ -167,6 +173,55 @@ def chunk_nodes(nodes: DataFrame) -> DataFrame:
     )
 
 
+def parse_chunks(web_pages: DataFrame) -> DataFrame:
+    """web_pages -> chunk rows DIRECTLY (T1/T2/T3 in one narrow stage).
+
+    ``chunk_id = seq_pos // CHUNK_SIZE`` is a per-page derivation and a
+    page is one input row, so every node of a chunk is born in the same
+    task, already in document order: the ``groupBy(url, chunk_id)``
+    route (``chunk_nodes``) exchanges bytes it could have kept local.
+    Event-log evidence at sf1 (BENCH r5): the grouped route shuffled
+    785 MB — 136% of the corpus' uncompressed html payload — because
+    every node's text + token ids crossed the wire before scoring.
+    Emitting chunks narrow removes that exchange entirely; the staged
+    pipeline keeps ONE url-keyed shuffle (kept-text assembly) and its
+    exchange carries only the ~kept fraction of extracted text.
+
+    ``chunk_nodes`` remains the general operator for node tables that
+    did not originate in this parser (and for the w3 oracle); outputs
+    are identical by construction (array_sort(seq_pos) == birth order),
+    pinned by tests/test_pipeline.py::test_narrow_chunking_identical.
+    """
+    cols = web_pages.select("url", "html")
+    keep_ids = C.MODEL_MAX_TOKEN_LEN - 1
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls: list = []
+            cids: list = []
+            nodes_col: list = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                rows = _page_sequence(html)
+                for start in range(0, len(rows), C.CHUNK_SIZE):
+                    chunk = rows[start : start + C.CHUNK_SIZE]
+                    urls.append(url)
+                    cids.append(start // C.CHUNK_SIZE)
+                    nodes_col.append(
+                        [
+                            {
+                                "seq_pos": r["seq_pos"],
+                                "node_id": r["node_id"],
+                                "token_ids": r["token_ids"][:keep_ids],
+                                "text": r["text"],
+                            }
+                            for r in chunk
+                        ]
+                    )
+            yield pd.DataFrame({"url": urls, "chunk_id": cids, "nodes": nodes_col})
+
+    return cols.mapInPandas(parse, schema=CHUNKS_DDL)
+
+
 _WEIGHTS_BC = {}
 
 
@@ -243,9 +298,10 @@ def extract_pipeline(
     web_pages: DataFrame,
     threshold: float = C.PRIMARY_THRESHOLD,
 ) -> DataFrame:
-    """web_pages -> extracted(url, text). The staged two-shuffle plan."""
-    nodes = parse_nodes(web_pages)
-    chunks = chunk_nodes(nodes)
+    """web_pages -> extracted(url, text). The staged plan: ONE url-keyed
+    shuffle (kept-text assembly) — chunking is narrow (parse_chunks),
+    so the only exchange carries kept (url, node_id, text) rows."""
+    chunks = parse_chunks(web_pages)
     scored = score_nodes(spark, chunks)
     return assemble_text(kept_nodes(scored, threshold=threshold))
 

@@ -49,6 +49,24 @@ def test_fused_byte_identical(spark, web_pages, oracle_extracted):
     pd.testing.assert_frame_equal(got, oracle_extracted)
 
 
+def test_narrow_chunking_identical(spark, web_pages):
+    """parse_chunks (narrow, r5 single-shuffle staged plan) must emit
+    exactly what parse_nodes -> chunk_nodes (the general grouped route)
+    aggregates — same chunks, same node structs, same order inside."""
+    from neuscraper_spark.operators.extract import parse_chunks
+
+    def normalize(df):
+        pdf = df.toPandas()
+        pdf["nodes"] = pdf["nodes"].map(
+            lambda ns: [tuple(n) for n in ns]
+        )
+        return pdf.sort_values(["url", "chunk_id"]).reset_index(drop=True)
+
+    narrow = normalize(parse_chunks(web_pages))
+    grouped = normalize(chunk_nodes(parse_nodes(web_pages)))
+    pd.testing.assert_frame_equal(narrow, grouped)
+
+
 def test_partitioning_invariance(spark, oracle_extracted):
     """Same corpus at a different partition count -> same bytes (the
     local[8]-vs-local[32] scaling claim depends on this)."""
