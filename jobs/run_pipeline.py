@@ -36,6 +36,26 @@ def main() -> None:
         help="after the write, merge each partition's small parquet "
         "files (Iceberg rewrite_data_files maintenance)",
     )
+    ap.add_argument(
+        "--dedup-urls", action="store_true",
+        help="keep one row per canonical url (scheme/www/query/slash "
+        "stripped) before writing",
+    )
+    ap.add_argument(
+        "--repetition-filter", action="store_true",
+        help="drop documents failing the Gopher repetition rules",
+    )
+    ap.add_argument(
+        "--near-dup", type=float, default=None, metavar="JACCARD",
+        help="MinHash+LSH near-dup dedup at this estimated-Jaccard "
+        "threshold (keeps one representative per cluster)",
+    )
+    ap.add_argument(
+        "--metrics", action="store_true",
+        help="after the write, scan the committed table once and save "
+        "corpus metrics (per-rule counts, keep rate, language mix) to "
+        "<output>/_metrics.json",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -58,6 +78,15 @@ def main() -> None:
         curated = extract_curate_fused(spark, web_pages, threshold=thr)
     else:
         curated = quality_chain(spark, extract_pipeline(spark, web_pages, threshold=thr))
+    if args.dedup_urls or args.repetition_filter or args.near_dup is not None:
+        from neuscraper_spark.operators.curation import apply_corpus_filters
+
+        curated = apply_corpus_filters(
+            curated,
+            dedup_urls=args.dedup_urls,
+            repetition=args.repetition_filter,
+            near_dup_threshold=args.near_dup,
+        )
     # partition the output by url-host bucket: stable, bounded
     # cardinality, and co-locates per-site reads downstream
     curated = curated.withColumn(
@@ -71,6 +100,29 @@ def main() -> None:
     if args.compact:
         comp = writer.compact(spark)
         print(f"compacted partitions: {len(comp['compaction'])}")
+    if args.metrics:
+        # one metadata-cheap scan of the COMMITTED table (not a re-run
+        # of the python chain): the corpus report a curation run files
+        import json
+
+        t = writer.read(spark)
+        row = t.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum((~F.col("quality_pass")).cast("long")).alias("n_fail_quality"),
+            F.sum((F.col("pii_count") > 0).cast("long")).alias("n_with_pii"),
+            F.sum((~F.col("toxicity_pass")).cast("long")).alias("n_toxic"),
+            F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+        ).collect()[0]
+        langs = {
+            r["lang_pred"]: r["n"]
+            for r in t.groupBy("lang_pred").agg(F.count("*").alias("n")).collect()
+        }
+        metrics = {**row.asDict(), "lang_mix": langs,
+                   "snapshot_id": snapshot.get("snapshot_id")}
+        with open(os.path.join(args.output, "_metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=1, default=str)
+        print(f"metrics: kept {row['n_keep']}/{row['n_docs']}")
     spark.stop()
 
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TERMINAL_PUNCT_RE = '[.!?"]$'
@@ -112,6 +112,62 @@ def url_dedup(df: DataFrame, id_col: str = "doc_id",
             F.min(id_col).alias("keeper"),
         )
     )
+
+
+def apply_corpus_filters(
+    curated: DataFrame,
+    *,
+    dedup_urls: bool = True,
+    repetition: bool = True,
+    near_dup_threshold: float | None = None,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """The post-curation filter chain of a production corpus build,
+    applied in fixed order (cheapest-per-row first, so each stage sees
+    fewer rows):
+
+      1. URL canonical dedup — keep the lexicographically-min raw url
+         per canonical url (deterministic; one url_norm-keyed window).
+      2. Gopher repetition filter — drop rows failing
+         ``repetition_pass`` (operators/repetition.py).
+      3. MinHash near-dup dedup (optional, enabled by a threshold) —
+         keep one representative per near-dup cluster
+         (operators/dedup.py D3+D6).
+
+    Everything is lazy transformations — no driver-side actions — so
+    the chain composes into a single resumable TableWriter write.
+    """
+    df = curated
+    if dedup_urls:
+        w = Window.partitionBy("url_norm").orderBy(url_col)
+        df = (
+            with_url_norm(df, url_col)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "url_norm")
+        )
+    if repetition:
+        from .repetition import METRIC_COLS, with_repetition
+
+        df = (
+            with_repetition(df, id_col=url_col, text_col=text_col)
+            .filter("repetition_pass")
+            .drop(*METRIC_COLS, "repetition_pass")
+        )
+    if near_dup_threshold is not None:
+        from .dedup import dedup_keep_representatives, minhash_lsh_pairs
+
+        # the minhash/CC operators key on int64 ids: derive a stable
+        # 64-bit id from the url (deterministic across runs/executors;
+        # the cluster representative is then the min hashed id —
+        # arbitrary but stable)
+        ids = df.withColumn("_nid", F.xxhash64(F.col(url_col)))
+        pairs = minhash_lsh_pairs(
+            ids, text_col=text_col, id_col="_nid", threshold=near_dup_threshold
+        )
+        df = dedup_keep_representatives(ids, pairs, id_col="_nid").drop("_nid")
+    return df
 
 
 # ---------------------------------------------------------------------------

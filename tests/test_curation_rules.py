@@ -137,3 +137,55 @@ def test_url_dedup_collapses_variants(spark):
     # the first four URLS are the same page in different disguises
     assert out["example.com/path/to/page"] == (4, 0)
     assert out["other.org"] == (2, 4)
+
+
+def test_apply_corpus_filters_chain(spark):
+    from neuscraper_spark.operators.curation import apply_corpus_filters
+
+    clean = (
+        "the sun rose early today over the quiet harbor\n"
+        "fishing boats left before dawn with full nets expected"
+    )
+    spammy = "buy now " * 40  # fails every repetition n-gram rule
+    rows = [
+        # url variants of one page: dedup keeps the lexicographic min
+        ("http://a.com/x", clean),
+        ("https://a.com/x/", clean),
+        ("https://www.a.com/x?utm_source=f", clean),
+        # a distinct clean page survives everything
+        ("https://b.com/y", clean + " and the tide turned at noon"),
+        # repetitive page is dropped by the Gopher rules
+        ("https://c.com/z", spammy),
+    ]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    out = apply_corpus_filters(df).collect()
+    urls = sorted(r["url"] for r in out)
+    assert urls == ["http://a.com/x", "https://b.com/y"]
+    # filters must not add or rename columns
+    assert sorted(out[0].asDict()) == ["text", "url"]
+
+
+def test_apply_corpus_filters_near_dup(spark):
+    base = (
+        "a long shared paragraph about harbors boats tides and nets "
+        "that appears nearly verbatim on two mirror pages with only "
+        "tiny edits between them across many many words of overlap"
+    )
+    rows = [
+        ("https://m1.com/p", base + " mirror one"),
+        ("https://m2.com/p", base + " mirror two"),
+        ("https://q.com/r", "completely different text about mountains and snow today"),
+    ]
+    from neuscraper_spark.operators.curation import apply_corpus_filters
+
+    df = spark.createDataFrame(rows, ["url", "text"])
+    out = sorted(
+        r["url"]
+        for r in apply_corpus_filters(
+            df, dedup_urls=False, repetition=False, near_dup_threshold=0.5
+        ).collect()
+    )
+    # exactly one mirror survives (the min hashed id — arbitrary but
+    # deterministic), plus the unrelated page
+    assert len(out) == 2 and "https://q.com/r" in out
+    assert len([u for u in out if u.startswith("https://m")]) == 1

@@ -49,12 +49,16 @@ def test_spark_submit_pipeline_and_resume(spark, input_parquet, tmp_path):
         "--conf", "spark.ui.enabled=false",
         os.path.join(REPO, "jobs", "run_pipeline.py"),
         "--input", input_parquet, "--output", out_table,
-        "--partitions", "4", "--fused",
+        "--partitions", "4", "--fused", "--dedup-urls", "--metrics",
     ]
     env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=420, env=env)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "committed partitions:" in r.stdout
+    # --metrics: the corpus report derives from the COMMITTED table
+    with open(os.path.join(out_table, "_metrics.json")) as f:
+        metrics = json.load(f)
+    assert metrics["n_docs"] > 0 and "lang_mix" in metrics
 
     manifests = os.listdir(os.path.join(out_table, "_manifests"))
     assert manifests, "per-partition manifests must exist"
