@@ -98,7 +98,8 @@ def _unit_stats(df: DataFrame, id_col: str, text_col: str, sep: str,
 
 
 def with_repetition(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    hash_grams: bool = False) -> DataFrame:
     """Adds the eight repetition metrics + ``repetition_pass`` to
     ``df`` (one row per input row; docs with no words/lines score 0 on
     every metric, i.e. pass).
@@ -106,7 +107,15 @@ def with_repetition(df: DataFrame, id_col: str = "doc_id",
     Plan shape: explode → two-level hash agg per unit family, one
     doc-keyed window sort for word positions, (doc, gram)-keyed counts
     per n — the d2 n-gram family, no cross joins, nothing collected.
-    """
+
+    Scale note: each word participates in n n-grams, so the exact gram
+    string columns weigh ~(2+3+4)x the text through the partial-agg
+    exchanges (map-side combine collapses the zipf head; the unique
+    tail ships once per partition). ``hash_grams=True`` counts by
+    ``xxhash64(gram)`` instead — constant 8 bytes per gram, metrics
+    identical absent 64-bit collisions (pinned equal on fixtures by
+    test) — the setting a 100 TB run uses. The driver oracle keeps
+    exact grams (DuckDB has no xxhash64)."""
     base = df
     lines = _unit_stats(base, id_col, text_col, "\n", "dup_line")
     paras = _unit_stats(base, id_col, text_col, "\n{2,}", "dup_para")
@@ -136,6 +145,8 @@ def with_repetition(df: DataFrame, id_col: str = "doc_id",
     def _top_gram(n: int) -> DataFrame:
         parts = ["_w"] + [f"_w{k}" for k in range(1, n)]
         g = F.concat_ws(" ", *[F.col(p) for p in parts])
+        if hash_grams:
+            g = F.xxhash64(g)
         gch: Column = F.length("_w")
         for p in parts[1:]:
             gch = gch + F.length(p)
@@ -155,10 +166,11 @@ def with_repetition(df: DataFrame, id_col: str = "doc_id",
 
     # 5-gram word-position coverage: occurrences of any duplicated
     # 5-gram stamp word positions [i, i+4]; distinct positions / words
+    g5_expr = F.concat_ws(" ", "_w", "_w1", "_w2", "_w3", "_w4")
+    if hash_grams:
+        g5_expr = F.xxhash64(g5_expr)
     g5 = words.filter(F.col("_w4").isNotNull()).select(
-        id_col,
-        "_i",
-        F.concat_ws(" ", "_w", "_w1", "_w2", "_w3", "_w4").alias("_g"),
+        id_col, "_i", g5_expr.alias("_g")
     )
     gw = Window.partitionBy(id_col, "_g")
     cov = (

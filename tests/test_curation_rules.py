@@ -58,6 +58,23 @@ def test_repetition_spark_matches_twin(spark):
             assert got[k] == pytest.approx(want[k]), (i, k, t)
 
 
+def test_repetition_hashed_grams_identical(spark):
+    """hash_grams=True (the constant-width-shuffle production setting)
+    must produce the same metrics as exact gram strings."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(REP_TEXTS)], ["doc_id", "text"]
+    )
+    cols = ["doc_id", *METRIC_COLS, "repetition_pass"]
+    exact = sorted(
+        tuple(r[c] for c in cols) for r in with_repetition(df).collect()
+    )
+    hashed = sorted(
+        tuple(r[c] for c in cols)
+        for r in with_repetition(df, hash_grams=True).collect()
+    )
+    assert exact == hashed
+
+
 def test_repetition_rule_boundaries():
     # a fully-duplicated doc fails the line rule; a clean one passes all
     bad = repetition_py("x y z a b\nx y z a b\nx y z a b")

@@ -71,6 +71,15 @@ def test_dedup_plans_no_nested_loop_join(spark):
         assert "CartesianProduct" not in plan, q
 
 
+def test_repetition_plan_shape(spark):
+    # the Gopher repetition battery is explode + doc/gram-keyed hash
+    # aggs + doc-keyed joins: no cross joins, no python stages
+    plan = plan_of(all_queries()["q_repetition"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+
 def test_ann_plans_no_cartesian(spark):
     # The ANN paths must stay bucketed equi-joins. (The registered
     # s1_s2_topk row also carries the S1 brute-force half, whose
