@@ -578,3 +578,206 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "cosine", "rank")
     )
+
+
+# ------------------------------------------------------------------- PQ ANN
+
+PQ_M = 8      # subspaces
+PQ_K = 256    # centroids per subspace (1 byte/code at production scale)
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample: int = 4096,
+    seed: int = 13,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Product-quantization train phase (Jégou et al. 2011, §II):
+    split the vector into ``m`` subspaces and learn ``k`` centroids per
+    subspace on the same deterministic id-strided driver sample the IVF
+    trainer uses. Returns float64 ``[m, k, d/m]``.
+
+    Exact-codebook mode: when a subspace's distinct subvectors fit in
+    ``k``, its codebook IS those subvectors (quantization error exactly
+    zero for sampled rows). With ``sample >= corpus`` this makes
+    PQ-ADC scores equal exact scores — the provable setting the driver
+    oracle runs (precedent: s2's coverage setting, s3/s4's
+    exhaustive-probe setting); production uses k=256 and takes the
+    usual lossy-ADC recall, which stays pytest-gated.
+    """
+    n_total = emb.count()
+    stride = max(1, -(-n_total // sample))
+    rows = (
+        emb.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+        .orderBy(id_col)
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.Generator(np.random.PCG64(seed))
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for mi in range(m):
+        Xm = X[:, mi * sub : (mi + 1) * sub]
+        uniq = np.unique(Xm, axis=0)
+        if len(uniq) <= k:
+            # exact codebook, padded by repeating the first row
+            books[mi] = np.concatenate(
+                [uniq, np.repeat(uniq[:1], k - len(uniq), axis=0)]
+            )
+            continue
+        cents = Xm[rng.choice(len(Xm), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = Xm[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[mi] = cents
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(nid, codes[m], nn): each vector compressed to m subspace code
+    ids plus its exact L2 norm (needed to turn ADC inner products into
+    cosine). At PQ_K=256 this is m bytes + 8 of payload per vector —
+    the representation a 10^12-vector corpus stores and shuffles
+    instead of d*4 bytes of floats (64x smaller at d=128, m=8)."""
+    m, k, sub = codebooks.shape
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast(codebooks)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        cn2 = [(books[mi] ** 2).sum(axis=1) for mi in range(m)]
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"nid": [], "codes": [], "nn": []})
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for mi in range(m):
+                Xm = X[:, mi * sub : (mi + 1) * sub]
+                # argmin ||x - c||^2 = argmin (||c||^2 - 2 x.c); ties ->
+                # first index (deterministic)
+                codes[:, mi] = (cn2[mi][None, :] - 2.0 * (Xm @ books[mi].T)).argmin(
+                    axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    "nid": pdf[id_col].to_numpy(),
+                    "codes": list(codes),
+                    "nn": np.linalg.norm(X, axis=1),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        enc, schema="nid long, codes array<int>, nn double"
+    )
+
+
+def ann_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = PQ_M,
+    k_pq: int = PQ_K,
+    rerank: int = 4,
+    sample: int = 4096,
+    seed: int = 13,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-ADC candidate generation + exact rerank (the IVF-PQ scale
+    path minus the cell filter, which composes via ivf_assign):
+
+    1. train codebooks (driver sample), encode the corpus to
+       (nid, m codes, norm) — the compressed table is what streams.
+    2. asymmetric distance computation: per query a [m, k_pq] LUT of
+       subspace inner products is broadcast; each Arrow batch scores
+       all queries with m table lookups per vector and emits only its
+       batch-local top ``k*rerank`` candidates per query — the shuffle
+       carries (qid, nid) pairs, never vectors or scores.
+    3. exact rerank over the candidate union (same expressions and
+       rounding as brute_force_topk), top-k per query.
+
+    With the exact codebook (k_pq >= distinct subvectors, sample >=
+    corpus) ADC equals the exact inner product up to float association
+    (~1e-15 relative), so candidates contain the true top-k at any
+    sane ``rerank`` margin and the result is bit-equal to the exact
+    oracle. Lossy settings are recall-tested in pytest.
+    """
+    books = train_pq_codebooks(
+        emb, m=m, k=k_pq, sample=sample, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+    codes = pq_encode(emb, books, vec_col=vec_col, id_col=id_col)
+    qrows = queries.select("qid", "qvec").collect()  # broadcast side by contract
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    sub = books.shape[2]
+    luts = np.stack(
+        [
+            np.stack(
+                [books[mi] @ Q[qi, mi * sub : (mi + 1) * sub] for mi in range(m)]
+            )
+            for qi in range(len(Q))
+        ]
+    )  # [nq, m, k_pq]
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((qids, luts))
+    kk = k * rerank
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqids, bluts = bc.value
+        nq = len(bqids)
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"qid": [], "nid": []})
+                continue
+            C = np.array(list(pdf["codes"]), dtype=np.int64)  # [n, m]
+            nn = pdf["nn"].to_numpy()
+            nids = pdf["nid"].to_numpy()
+            est = np.zeros((nq, len(C)))
+            for mi in range(C.shape[1]):
+                est += bluts[:, mi, C[:, mi]]
+            est /= np.maximum(nn, 1e-12)[None, :]  # qn constant per query
+            top = min(kk, len(C))
+            out_q, out_n = [], []
+            for qi in range(nq):
+                idx = np.argpartition(-est[qi], top - 1)[:top]
+                out_q.extend([bqids[qi]] * top)
+                out_n.extend(nids[idx].tolist())
+            yield pd.DataFrame({"qid": out_q, "nid": out_n})
+
+    cand = codes.mapInPandas(adc, schema="qid long, nid long").dropDuplicates(
+        ["qid", "nid"]
+    )
+    corpus = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    scored = (
+        cand.filter(F.col("nid") != F.col("qid"))
+        .join(corpus, "nid")
+        .join(F.broadcast(queries.select("qid", "qvec")), "qid")
+        .withColumn(
+            "cosine", F.round(_dot("nvec", "qvec") / (_norm("nvec") * _norm("qvec")), 6)
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cosine", "rank")
+    )

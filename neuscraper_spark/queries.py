@@ -1099,7 +1099,7 @@ def s1_s2_topk(spark, sf_dir):
     return brute.unionByName(lsh)
 
 
-@query("s3_s4_ivf_topk", _variant_topk_sql("transient", "stored"))
+@query("s3_s4_ivf_topk", _variant_topk_sql("transient", "stored", "pq"))
 def s3_s4_ivf_topk(spark, sf_dir):
     # S3 (transient IVF: train -> assign -> cell-join -> rerank) and S4
     # (the STORED-index chain a production user actually runs:
@@ -1109,14 +1109,19 @@ def s3_s4_ivf_topk(spark, sf_dir):
     # delta with hive-partition pruning) share one driver row. At
     # nprobe == n_centroids every cell is probed, so both must equal the
     # exact SQL top-k bit-for-bit — proving no vectors were lost or
-    # duplicated across build/append/prune/probe. ANN recall at nprobe=4
-    # stays pytest-gated (tests/test_similarity.py).
+    # duplicated across build/append/prune/probe. The 'pq' variant is
+    # product quantization (ADC candidates + exact rerank) in its
+    # exact-codebook setting (k_pq >= distinct subvectors, sample >=
+    # corpus): ADC equals the exact inner product, so it too must match
+    # the same oracle bit-for-bit. ANN recall at lossy settings
+    # (nprobe=4, k_pq=16) stays pytest-gated (tests/test_similarity.py).
     import os
     import shutil
 
     from .operators.similarity import (
         ann_ivf_topk,
         ann_ivf_topk_indexed,
+        ann_pq_topk,
         append_ivf_index,
         build_ivf_index,
         queries_from_ids,
@@ -1136,7 +1141,10 @@ def s3_s4_ivf_topk(spark, sf_dir):
     stored = ann_ivf_topk_indexed(spark, root, q, k=10, nprobe=16).select(
         F.lit("stored").alias("variant"), "qid", "nid", "cosine", "rank"
     )
-    return transient.unionByName(stored)
+    pq = ann_pq_topk(emb, q, k=10, m=8, k_pq=512, sample=1 << 20).select(
+        F.lit("pq").alias("variant"), "qid", "nid", "cosine", "rank"
+    )
+    return transient.unionByName(stored).unionByName(pq)
 
 
 # ---------------------------------------------------------------------------

@@ -298,3 +298,52 @@ def test_ivf_delta_roots_numeric_order(tmp_path):
     (droot / "gX").mkdir()  # non-numeric junk is ignored
     roots = _delta_roots(str(tmp_path / "idx"))
     assert [os.path.basename(r) for r in roots] == ["g0", "g1", "g2", "g10"]
+
+
+def test_pq_exact_setting_equals_brute_force(spark, emb):
+    """Exact-codebook PQ (k_pq >= distinct subvectors, sample >= corpus)
+    must reproduce brute-force top-k bit-for-bit — the driver-oracle
+    setting of the 'pq' variant."""
+    from neuscraper_spark.operators.similarity import ann_pq_topk
+
+    q = S.queries_from_ids(emb, range(3))
+    want = {
+        (r["qid"], r["rank"]): (r["nid"], r["cosine"])
+        for r in S.brute_force_topk(emb, q, k=10).collect()
+    }
+    got = {
+        (r["qid"], r["rank"]): (r["nid"], r["cosine"])
+        for r in ann_pq_topk(emb, q, k=10, m=8, k_pq=512, sample=1 << 20).collect()
+    }
+    assert got == want
+
+
+def test_pq_lossy_recall(spark, emb):
+    """Production-shaped PQ (small codebooks, lossy ADC) must still
+    find most of the true top-k after the exact rerank."""
+    from neuscraper_spark.operators.similarity import ann_pq_topk
+
+    q = S.queries_from_ids(emb, range(3))
+    truth = {}
+    for r in S.brute_force_topk(emb, q, k=10).collect():
+        truth.setdefault(r["qid"], set()).add(r["nid"])
+    got = {}
+    for r in ann_pq_topk(emb, q, k=10, m=8, k_pq=16, rerank=4).collect():
+        got.setdefault(r["qid"], set()).add(r["nid"])
+    recalls = [
+        len(truth[qid] & got.get(qid, set())) / len(truth[qid]) for qid in truth
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_pq_codes_are_compact(spark, emb):
+    """The encoded table is the scale representation: m int codes + one
+    norm per vector, no float vectors."""
+    from neuscraper_spark.operators.similarity import pq_encode, train_pq_codebooks
+
+    books = train_pq_codebooks(emb, m=8, k=16)
+    codes = pq_encode(emb, books)
+    assert codes.columns == ["nid", "codes", "nn"]
+    row = codes.orderBy("nid").first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
