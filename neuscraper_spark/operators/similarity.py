@@ -763,12 +763,25 @@ def ann_pq_topk(
                 out_n.extend(nids[idx].tolist())
             yield pd.DataFrame({"qid": out_q, "nid": out_n})
 
-    cand = codes.mapInPandas(adc, schema="qid long, nid long").dropDuplicates(
-        ["qid", "nid"]
-    )
+    cand = codes.mapInPandas(adc, schema="qid long, nid long")
+    return _exact_rerank(cand, emb, queries, k, vec_col=vec_col, id_col=id_col)
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Shared ANN tail: (qid, nid) candidates rejoin full vectors, get
+    exactly the brute_force_topk cosine expression and rounding, and
+    keep the per-query top-k."""
     corpus = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
     scored = (
-        cand.filter(F.col("nid") != F.col("qid"))
+        cand.dropDuplicates(["qid", "nid"])
+        .filter(F.col("nid") != F.col("qid"))
         .join(corpus, "nid")
         .join(F.broadcast(queries.select("qid", "qvec")), "qid")
         .withColumn(
@@ -781,3 +794,148 @@ def ann_pq_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "cosine", "rank")
     )
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(nid, cell, codes[m], nn) in ONE narrow pass: each vector is
+    assigned to its nearest IVF cell and PQ-compressed in the same
+    Arrow batch, so the full float vector is read exactly once and
+    never leaves its scan task. This is the table a production index
+    persists, hive-partitioned by `cell` like build_ivf_index's —
+    m+1 codes + a norm per vector instead of d floats."""
+    m, k, sub = codebooks.shape
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((centroids, codebooks))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents, books = bc.value
+        cn2 = [(books[mi] ** 2).sum(axis=1) for mi in range(m)]
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"nid": [], "cell": [], "codes": [], "nn": []})
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-9)
+            cells = (Xn @ cents.T).argmax(axis=1).astype(np.int32)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for mi in range(m):
+                Xm = X[:, mi * sub : (mi + 1) * sub]
+                codes[:, mi] = (cn2[mi][None, :] - 2.0 * (Xm @ books[mi].T)).argmin(
+                    axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    "nid": pdf[id_col].to_numpy(),
+                    "cell": cells,
+                    "codes": list(codes),
+                    "nn": np.linalg.norm(X, axis=1),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        enc, schema="nid long, cell int, codes array<int>, nn double"
+    )
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    k_pq: int = PQ_K,
+    rerank: int = 4,
+    sample: int = 4096,
+    seed: int = 11,
+    pq_seed: int = 13,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the composed trillion-vector shape (Jégou et al. 2011
+    §V; Faiss IndexIVFPQ with by_residual=False — for inner-product /
+    cosine metrics the ADC lookup table is cell-independent, so raw-
+    vector codebooks compose with the cell filter without residual
+    re-encoding):
+
+    - corpus: one narrow pass assigns the cell AND compresses to m
+      codes + a norm (`ivfpq_encode`); at scale this table is
+      hive-partitioned by cell so unprobed cells prune at scan time
+      (build_ivf_index's layout, 24-48x less I/O than float vectors).
+    - queries: driver-side nprobe-cell assignment + per-query ADC
+      LUTs, broadcast together.
+    - scan: each Arrow batch masks rows to each query's probed cells
+      (one fancy-index into a [nq, n_cells] bool table), ADC-scores
+      the survivors with m table lookups, and emits its batch-local
+      top k*rerank (qid, nid) pairs — the only shuffle payload.
+    - exact rerank tail shared with every other ANN path.
+
+    Exact setting (nprobe == n_centroids, exact codebooks): the cell
+    mask passes everything and ADC equals the exact inner product, so
+    the result is bit-equal to the exact top-k oracle — the driver
+    runs that setting; lossy recall is pytest-gated.
+    """
+    cents = train_ivf_centroids(
+        emb, n_centroids=n_centroids, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+    books = train_pq_codebooks(
+        emb, m=m, k=k_pq, sample=sample, seed=pq_seed, vec_col=vec_col, id_col=id_col
+    )
+    codes = ivfpq_encode(emb, cents, books, vec_col=vec_col, id_col=id_col)
+
+    qrows = queries.select("qid", "qvec").collect()  # broadcast side by contract
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-9)
+    n_cells = len(cents)
+    nprobe = min(nprobe, n_cells)
+    probed = np.argsort(-(Qn.astype(np.float32) @ cents.T), axis=1)[:, :nprobe]
+    allow = np.zeros((len(Q), n_cells), dtype=bool)
+    for qi in range(len(Q)):
+        allow[qi, probed[qi]] = True
+    sub = books.shape[2]
+    luts = np.stack(
+        [
+            np.stack(
+                [books[mi] @ Q[qi, mi * sub : (mi + 1) * sub] for mi in range(m)]
+            )
+            for qi in range(len(Q))
+        ]
+    )  # [nq, m, k_pq]
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((qids, luts, allow))
+    kk = k * rerank
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqids, bluts, ballow = bc.value
+        nq = len(bqids)
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"qid": [], "nid": []})
+                continue
+            C = np.array(list(pdf["codes"]), dtype=np.int64)  # [n, m]
+            cells = pdf["cell"].to_numpy()
+            nn = pdf["nn"].to_numpy()
+            nids = pdf["nid"].to_numpy()
+            est = np.zeros((nq, len(C)))
+            for mi in range(C.shape[1]):
+                est += bluts[:, mi, C[:, mi]]
+            est /= np.maximum(nn, 1e-12)[None, :]
+            est[~ballow[:, cells]] = -np.inf  # cell filter, [nq, n]
+            out_q, out_n = [], []
+            for qi in range(nq):
+                top = min(kk, len(C))
+                idx = np.argpartition(-est[qi], top - 1)[:top]
+                idx = idx[np.isfinite(est[qi, idx])]  # drop masked cells
+                out_q.extend([bqids[qi]] * len(idx))
+                out_n.extend(nids[idx].tolist())
+            yield pd.DataFrame({"qid": out_q, "nid": out_n})
+
+    cand = codes.mapInPandas(adc, schema="qid long, nid long")
+    return _exact_rerank(cand, emb, queries, k, vec_col=vec_col, id_col=id_col)

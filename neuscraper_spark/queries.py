@@ -1099,7 +1099,7 @@ def s1_s2_topk(spark, sf_dir):
     return brute.unionByName(lsh)
 
 
-@query("s3_s4_ivf_topk", _variant_topk_sql("transient", "stored", "pq"))
+@query("s3_s4_ivf_topk", _variant_topk_sql("ivfpq", "pq", "stored", "transient"))
 def s3_s4_ivf_topk(spark, sf_dir):
     # S3 (transient IVF: train -> assign -> cell-join -> rerank) and S4
     # (the STORED-index chain a production user actually runs:
@@ -1113,14 +1113,19 @@ def s3_s4_ivf_topk(spark, sf_dir):
     # product quantization (ADC candidates + exact rerank) in its
     # exact-codebook setting (k_pq >= distinct subvectors, sample >=
     # corpus): ADC equals the exact inner product, so it too must match
-    # the same oracle bit-for-bit. ANN recall at lossy settings
-    # (nprobe=4, k_pq=16) stays pytest-gated (tests/test_similarity.py).
+    # the same oracle bit-for-bit. The 'ivfpq' variant composes both
+    # approximations (cell filter x compressed codes, the Faiss
+    # IndexIVFPQ shape) at nprobe == n_centroids + exact codebooks, so
+    # the mask passes everything and ADC is exact — bit-equal again.
+    # ANN recall at lossy settings (nprobe=4, k_pq=16) stays
+    # pytest-gated (tests/test_similarity.py).
     import os
     import shutil
 
     from .operators.similarity import (
         ann_ivf_topk,
         ann_ivf_topk_indexed,
+        ann_ivfpq_topk,
         ann_pq_topk,
         append_ivf_index,
         build_ivf_index,
@@ -1144,7 +1149,10 @@ def s3_s4_ivf_topk(spark, sf_dir):
     pq = ann_pq_topk(emb, q, k=10, m=8, k_pq=512, sample=1 << 20).select(
         F.lit("pq").alias("variant"), "qid", "nid", "cosine", "rank"
     )
-    return transient.unionByName(stored).unionByName(pq)
+    ivfpq = ann_ivfpq_topk(
+        emb, q, k=10, n_centroids=16, nprobe=16, m=8, k_pq=512, sample=1 << 20
+    ).select(F.lit("ivfpq").alias("variant"), "qid", "nid", "cosine", "rank")
+    return transient.unionByName(stored).unionByName(pq).unionByName(ivfpq)
 
 
 # ---------------------------------------------------------------------------

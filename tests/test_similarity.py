@@ -336,6 +336,64 @@ def test_pq_lossy_recall(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
+def test_ivfpq_exact_setting_equals_brute_force(spark, emb):
+    """IVF-PQ with all cells probed and exact codebooks must equal the
+    exact top-k — the driver-oracle setting of the 'ivfpq' variant."""
+    from neuscraper_spark.operators.similarity import ann_ivfpq_topk
+
+    q = S.queries_from_ids(emb, range(3))
+    want = {
+        (r["qid"], r["rank"]): (r["nid"], r["cosine"])
+        for r in S.brute_force_topk(emb, q, k=10).collect()
+    }
+    got = {
+        (r["qid"], r["rank"]): (r["nid"], r["cosine"])
+        for r in ann_ivfpq_topk(
+            emb, q, k=10, n_centroids=16, nprobe=16, m=8, k_pq=512, sample=1 << 20
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_lossy_recall(spark, emb):
+    """Production-shaped IVF-PQ (nprobe < n_centroids, lossy
+    codebooks) keeps most of the true top-k after the exact rerank —
+    the two approximations compose without collapsing recall."""
+    from neuscraper_spark.operators.similarity import ann_ivfpq_topk
+
+    q = S.queries_from_ids(emb, range(5))
+    truth = {}
+    for r in S.brute_force_topk(emb, q, k=10).collect():
+        truth.setdefault(r["qid"], set()).add(r["nid"])
+    got = {}
+    for r in ann_ivfpq_topk(
+        emb, q, k=10, n_centroids=16, nprobe=4, m=8, k_pq=16, rerank=4
+    ).collect():
+        got.setdefault(r["qid"], set()).add(r["nid"])
+    recalls = [
+        len(truth[qid] & got.get(qid, set())) / len(truth[qid]) for qid in truth
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_ivfpq_encode_is_compact_and_consistent(spark, emb):
+    """The fused encode emits one row per vector with a valid cell and
+    m codes; cells agree with ivf_assign's nearest-cell assignment."""
+    from neuscraper_spark.operators.similarity import (
+        ivfpq_encode,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    books = train_pq_codebooks(emb, m=8, k=16)
+    enc = ivfpq_encode(emb, cents, books).toPandas().set_index("nid")
+    assert len(enc) == emb.count()
+    assert enc["cell"].between(0, 7).all()
+    via_assign = S.ivf_assign(emb, cents, nprobe=1).toPandas().set_index("id")
+    assert (enc["cell"].sort_index() == via_assign["cell"].sort_index()).all()
+
+
 def test_pq_codes_are_compact(spark, emb):
     """The encoded table is the scale representation: m int codes + one
     norm per vector, no float vectors."""
