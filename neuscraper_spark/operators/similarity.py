@@ -540,7 +540,7 @@ def ann_lsh_topk(
     ``tables``/``n_planes`` trade candidate volume for recall: fewer
     planes widen buckets (higher recall, bigger scans). The defaults are
     the production ANN setting; the oracle-checked registration uses a
-    coverage setting (see queries.s1_s2_topk).
+    coverage setting (see queries.s_ann_topk).
 
     Shuffle shape: the bucket join and the (qid, nid) dedup see only
     slim id rows; vectors are rejoined AFTER dedup — the corpus side by

@@ -1075,18 +1075,51 @@ def _variant_topk_sql(*variants: str) -> str:
     )
 
 
-@query("s1_s2_topk", _variant_topk_sql("brute", "lsh"))
-def s1_s2_topk(spark, sf_dir):
-    # S1 (brute-force exact top-k, the baseline) and S2 (hyperplane-LSH
-    # ANN) share one driver row, variant-tagged. S2 runs at the COVERAGE
-    # setting (VERDICT r2 #5): 2 hyperplanes x 24 tables make
-    # bucket-collision probability ~1 for any moderate-cosine pair
-    # (miss <= (1-p^2)^24, p = 1-theta/pi), so the candidate set provably
-    # covers the true top-10 and the full signature -> bucket-join ->
-    # exact-rerank machinery must reproduce the exact SQL top-k
-    # bit-for-bit. The production ANN setting (6 planes, ~1/3 corpus
-    # scanned) keeps its recall pytest gate.
-    from .operators.similarity import ann_lsh_topk, brute_force_topk, queries_from_ids
+@query(
+    "s_ann_topk",
+    _variant_topk_sql("brute", "ivfpq", "lsh", "pq", "stored", "transient"),
+)
+def s_ann_topk(spark, sf_dir):
+    # Every ANN path shares one driver row against the one exact top-k
+    # oracle, variant-tagged (same-oracle consolidation, r4 VERDICT #1;
+    # formerly the s1_s2_topk + s3_s4_ivf_topk rows):
+    # - 'brute': S1 exact baseline (native dot fold).
+    # - 'lsh': S2 hyperplane LSH at the COVERAGE setting (2 planes x 24
+    #   tables: miss <= (1-p^2)^24 ~ 0 for any moderate-cosine pair),
+    #   so signature -> bucket-join -> rerank must be bit-exact. The
+    #   production setting (6 planes) keeps its recall pytest gate.
+    # - 'transient'/'stored': S3 (train -> assign -> cell-join ->
+    #   rerank on the fly) and S4 (the STORED-index chain a production
+    #   user actually runs: build_ivf_index persists centroids + the
+    #   cell-partitioned corpus (half of it), append_ivf_index grows it
+    #   with the other half as an immutable delta generation,
+    #   ann_ivf_topk_indexed probes base ∪ delta with hive-partition
+    #   pruning). At nprobe == n_centroids every cell is probed, so
+    #   both must be bit-exact — proving no vectors were lost or
+    #   duplicated across build/append/prune/probe.
+    # - 'pq': product quantization (ADC candidates + exact rerank) in
+    #   its exact-codebook setting (k_pq >= distinct subvectors,
+    #   sample >= corpus): ADC equals the exact inner product.
+    # - 'ivfpq': both approximations composed (cell filter x
+    #   compressed codes, the Faiss IndexIVFPQ shape) at nprobe ==
+    #   n_centroids + exact codebooks — the mask passes everything and
+    #   ADC is exact, bit-equal again.
+    # ANN recall at lossy settings (6 planes / nprobe=4 / k_pq=16)
+    # stays pytest-gated (tests/test_similarity.py).
+    import os
+    import shutil
+
+    from .operators.similarity import (
+        ann_ivf_topk,
+        ann_ivf_topk_indexed,
+        ann_ivfpq_topk,
+        ann_lsh_topk,
+        ann_pq_topk,
+        append_ivf_index,
+        brute_force_topk,
+        build_ivf_index,
+        queries_from_ids,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = queries_from_ids(emb, range(5))
@@ -1096,44 +1129,6 @@ def s1_s2_topk(spark, sf_dir):
     lsh = ann_lsh_topk(emb, q, k=10, tables=24, n_planes=2).select(
         F.lit("lsh").alias("variant"), "qid", "nid", "cosine", "rank"
     )
-    return brute.unionByName(lsh)
-
-
-@query("s3_s4_ivf_topk", _variant_topk_sql("ivfpq", "pq", "stored", "transient"))
-def s3_s4_ivf_topk(spark, sf_dir):
-    # S3 (transient IVF: train -> assign -> cell-join -> rerank) and S4
-    # (the STORED-index chain a production user actually runs:
-    # build_ivf_index persists centroids + the cell-partitioned corpus
-    # (half of it), append_ivf_index grows it with the other half as an
-    # immutable delta generation, ann_ivf_topk_indexed probes base ∪
-    # delta with hive-partition pruning) share one driver row. At
-    # nprobe == n_centroids every cell is probed, so both must equal the
-    # exact SQL top-k bit-for-bit — proving no vectors were lost or
-    # duplicated across build/append/prune/probe. The 'pq' variant is
-    # product quantization (ADC candidates + exact rerank) in its
-    # exact-codebook setting (k_pq >= distinct subvectors, sample >=
-    # corpus): ADC equals the exact inner product, so it too must match
-    # the same oracle bit-for-bit. The 'ivfpq' variant composes both
-    # approximations (cell filter x compressed codes, the Faiss
-    # IndexIVFPQ shape) at nprobe == n_centroids + exact codebooks, so
-    # the mask passes everything and ADC is exact — bit-equal again.
-    # ANN recall at lossy settings (nprobe=4, k_pq=16) stays
-    # pytest-gated (tests/test_similarity.py).
-    import os
-    import shutil
-
-    from .operators.similarity import (
-        ann_ivf_topk,
-        ann_ivf_topk_indexed,
-        ann_ivfpq_topk,
-        ann_pq_topk,
-        append_ivf_index,
-        build_ivf_index,
-        queries_from_ids,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    q = queries_from_ids(emb, range(5))
     transient = ann_ivf_topk(emb, q, k=10, n_centroids=16, nprobe=16).select(
         F.lit("transient").alias("variant"), "qid", "nid", "cosine", "rank"
     )
@@ -1152,7 +1147,77 @@ def s3_s4_ivf_topk(spark, sf_dir):
     ivfpq = ann_ivfpq_topk(
         emb, q, k=10, n_centroids=16, nprobe=16, m=8, k_pq=512, sample=1 << 20
     ).select(F.lit("ivfpq").alias("variant"), "qid", "nid", "cosine", "rank")
-    return transient.unionByName(stored).unionByName(pq).unionByName(ivfpq)
+    return (
+        brute.unionByName(lsh)
+        .unionByName(transient)
+        .unionByName(stored)
+        .unionByName(pq)
+        .unionByName(ivfpq)
+    )
+
+
+_BM25_SQL = """
+    WITH post AS (
+      SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE t <> '' GROUP BY doc_id, t
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n_docs,
+             sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+      FROM dl
+    ),
+    qterms AS (
+      SELECT DISTINCT doc_id AS qid, t AS term
+      FROM (
+        SELECT doc_id,
+               unnest(list_slice(string_split(text, ' '), 1, 4)) AS t
+        FROM documents WHERE doc_id < 5
+      ) WHERE t <> ''
+    ),
+    contrib AS (
+      SELECT q.qid, p.doc_id,
+             CAST(round(
+               ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+               * (p.tf * 2.2)
+                 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+               * 1000000000) AS BIGINT) AS contrib_q
+      FROM post p
+      JOIN qterms q ON q.term = p.term
+      JOIN dft ON dft.term = p.term
+      JOIN dl ON dl.doc_id = p.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT qid, doc_id, sum(contrib_q)::BIGINT AS score_q
+      FROM contrib GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qid, doc_id, score_q,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score_q DESC, doc_id ASC) AS rank
+      FROM scored)
+    SELECT qid, doc_id, score_q, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@query("q_bm25", _BM25_SQL)
+def q_bm25(spark, sf_dir):
+    # Lexical retrieval for query-based corpus selection: Okapi BM25
+    # top-10 per query (queries = first 4 words of docs 0-4, set
+    # semantics on query terms). The SQL twin replicates the formula
+    # with the same constants (k1=1.2, b=0.75, Lucene's positive idf).
+    # Cross-engine float safety: per-term contributions are quantized
+    # to BIGINT (x1e9) BEFORE the per-doc sum, so aggregation order —
+    # which differs between engines — can't move the score; ties rank
+    # by doc_id on both sides.
+    from .operators.retrieval import bm25_topk, queries_from_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    q = queries_from_docs(docs, range(5), n_terms=4)
+    return bm25_topk(docs, q, k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -82,7 +82,7 @@ def test_repetition_plan_shape(spark):
 
 def test_ann_plans_no_cartesian(spark):
     # The ANN paths must stay bucketed equi-joins. (The registered
-    # s1_s2_topk row also carries the S1 brute-force half, whose
+    # s_ann_topk row also carries the S1 brute-force variant, whose
     # broadcast cross with the tiny query side is the intended baseline
     # plan — so assert on the ANN operators directly.)
     from neuscraper_spark.operators.similarity import (

@@ -1,0 +1,87 @@
+"""BM25 retrieval: exact parity with an independent numpy reference,
+ranking sanity, and plan shape."""
+
+import math
+
+import numpy as np
+import pytest
+
+from neuscraper_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    SCORE_SCALE,
+    bm25_topk,
+    queries_from_docs,
+    term_postings,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def _numpy_bm25(pdf, query_terms, k1=BM25_K1, b=BM25_B):
+    """Independent reference: plain dict/loop implementation of the
+    same formula and quantization (Robertson & Zaragoza 2009; Lucene
+    positive idf)."""
+    toks = {r.doc_id: [t for t in r.text.split(" ") if t] for r in pdf.itertuples()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    scores = {}
+    for doc_id, ts in toks.items():
+        dl = len(ts)
+        s = 0
+        for t in set(query_terms):
+            tf = ts.count(t)
+            if not tf:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            contrib = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+            s += int(np.round(contrib * SCORE_SCALE))
+        scores[doc_id] = s
+    return scores
+
+
+def test_bm25_matches_numpy_reference(spark, docs):
+    pdf = docs.select("doc_id", "text").toPandas()
+    qtext = " ".join(pdf.set_index("doc_id").loc[0, "text"].split(" ")[:4])
+    want = _numpy_bm25(pdf, qtext.split(" "))
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    q = queries_from_docs(docs, [0], n_terms=4)
+    got = [
+        (r["doc_id"], r["score_q"])
+        for r in bm25_topk(docs, q, k=10).orderBy("rank").collect()
+    ]
+    assert got == top
+
+
+def test_bm25_rank_structure(spark, docs):
+    q = queries_from_docs(docs, range(3), n_terms=4)
+    out = bm25_topk(docs, q, k=10).toPandas()
+    for qid, grp in out.groupby("qid"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert (grp["score_q"].diff().dropna() <= 0).all()
+
+
+def test_postings_one_row_per_doc_term(spark, docs):
+    post = term_postings(docs).toPandas()
+    assert not post.duplicated(["doc_id", "term"]).any()
+    assert (post["tf"] >= 1).all()
+
+
+def test_bm25_plan_no_cartesian(spark, docs):
+    # the only non-equi join allowed is the broadcast of the SINGLE-ROW
+    # corpus-stats aggregate; term/doc joins must stay hash equi-joins
+    q = queries_from_docs(docs, range(3), n_terms=4)
+    plan = bm25_topk(docs, q, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
