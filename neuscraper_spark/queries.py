@@ -981,37 +981,46 @@ _SHINGLE_JACCARD_SQL = """
     """
 
 
-@query("d3_minhash_lsh", _SHINGLE_JACCARD_SQL.format(thr=0.8))
-def d3_minhash_lsh(spark, sf_dir):
-    # D3 oracle-checked via the relational rerank tail (the d5 pattern,
-    # VERDICT r2 #5): MinHash banding generates candidates (numpy hashes,
-    # not SQL-portable), then EXACT distinct char-9-shingle Jaccard —
-    # SQL-portable, pure Catalyst — verifies each candidate. Output ==
-    # the oracle's quadratic exact-Jaccard SQL iff banding misses no
-    # true pair at J >= 0.8: catch prob per pair is
-    # 1-(1-J^4)^32 >= 1-5e-8 at J=0.8, and the run is deterministic
-    # (seeded hashes, fixed data). The production estimate-only path
-    # (est_jaccard) keeps its determinism/accuracy pytest gates.
-    from .operators.dedup import exact_shingle_jaccard_pairs, minhash_lsh_pairs
+_D3_D4_SQL = (
+    "SELECT 'minhash' AS variant, * FROM ("
+    + _SHINGLE_JACCARD_SQL.format(thr=0.8)
+    + ") UNION ALL SELECT 'simhash' AS variant, * FROM ("
+    + _SHINGLE_JACCARD_SQL.format(thr=0.95)
+    + ")"
+)
+
+
+@query("d3_d4_sketches", _D3_D4_SQL)
+def d3_d4_sketches(spark, sf_dir):
+    # D3 and D4 share one variant-tagged driver row (same-oracle-family
+    # consolidation), each oracle-checked via the relational rerank tail
+    # (the d5 pattern, VERDICT r2 #5): the sketch generates candidates
+    # (numpy hashes, not SQL-portable), then EXACT distinct
+    # char-9-shingle Jaccard — SQL-portable, pure Catalyst — verifies
+    # each candidate, so output == the oracle's quadratic exact-Jaccard
+    # SQL iff the sketch misses no true pair at its threshold.
+    # - 'minhash' (J >= 0.8): banding catch prob per pair is
+    #   1-(1-J^4)^32 >= 1-5e-8 at J=0.8, deterministic seeded hashes.
+    # - 'simhash' (J >= 0.95): such docs differ by a handful of words,
+    #   so fingerprints are within hamming 8 and the Manku block join
+    #   cannot miss them; the hamming verify itself is native
+    #   bit_count, gated by pytest.
+    # The production estimate-only paths (est_jaccard, hamming-only)
+    # keep their determinism/accuracy pytest gates.
+    from .operators.dedup import (
+        exact_shingle_jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, threshold=0.2)
-    return exact_shingle_jaccard_pairs(cand, docs, threshold=0.8)
-
-
-@query("d4_simhash", _SHINGLE_JACCARD_SQL.format(thr=0.95))
-def d4_simhash(spark, sf_dir):
-    # D4 oracle-checked the same way: SimHash blocks (hamming <= 8)
-    # generate candidates, exact shingle Jaccard verifies. A completeness
-    # gate — J >= 0.95 docs differ by a handful of words, so their
-    # fingerprints are within hamming 8 and the Manku block join cannot
-    # miss them (verified exact-equal on the fixture corpus); precision
-    # of the hamming verify itself is native bit_count, gated by pytest.
-    from .operators.dedup import exact_shingle_jaccard_pairs, simhash_near_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    cand = simhash_near_pairs(docs, max_hamming=8)
-    return exact_shingle_jaccard_pairs(cand, docs, threshold=0.95)
+    mh = exact_shingle_jaccard_pairs(
+        minhash_lsh_pairs(docs, threshold=0.2), docs, threshold=0.8
+    ).select(F.lit("minhash").alias("variant"), "id_a", "id_b", "jaccard")
+    sh = exact_shingle_jaccard_pairs(
+        simhash_near_pairs(docs, max_hamming=8), docs, threshold=0.95
+    ).select(F.lit("simhash").alias("variant"), "id_a", "id_b", "jaccard")
+    return mh.unionByName(sh)
 
 
 @query(
@@ -1218,6 +1227,70 @@ def q_bm25(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     q = queries_from_docs(docs, range(5), n_terms=4)
     return bm25_topk(docs, q, k=10)
+
+
+def _sample_mix_sql() -> str:
+    # thresholds come from the SAME rate_to_threshold_hex the Spark
+    # operators use — constants shared by construction
+    from .operators.sampling import rate_to_threshold_hex as thr
+
+    return f"""
+    SELECT 'fixed' AS variant, doc_id, lang FROM documents
+    WHERE lang = 'zh'
+       OR substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE lang WHEN 'en' THEN '{thr(0.5)}'
+                    WHEN 'de' THEN '{thr(0.25)}'
+                    WHEN 'zh' THEN '{thr(1.0)}' END
+    UNION ALL
+    SELECT 'target' AS variant, d.doc_id, d.lang
+    FROM documents d
+    JOIN (
+      SELECT lang,
+             least(CAST(1.0 AS DOUBLE),
+                   CASE lang WHEN 'en' THEN CAST(0.3 AS DOUBLE)
+                             WHEN 'de' THEN CAST(0.3 AS DOUBLE)
+                             WHEN 'fr' THEN CAST(0.4 AS DOUBLE) END
+                   * CAST(300.0 AS DOUBLE) / count(*)) AS rate
+      FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY lang
+    ) r ON d.lang = r.lang
+    WHERE r.rate IS NOT NULL
+      AND (r.rate >= 1.0
+           OR substr(md5('s2' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
+              lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
+                   8, '0'))
+    """
+
+
+@query("q_sample_mix", _sample_mix_sql())
+def q_sample_mix(spark, sf_dir):
+    # Deterministic corpus sampling/mixing, the draw a training-data
+    # pipeline ends with. Rows are kept iff the first 8 hex chars of
+    # md5(salt || key) sort below a rate-derived cutoff — reproducible
+    # across runs/engines/partitioning (pure per-row predicate, no
+    # shuffle, full pushdown), which is exactly what makes it
+    # oracle-checkable: DuckDB computes the identical digest.
+    # - 'fixed': per-language rates {en: 0.5, de: 0.25, zh: 1.0} — the
+    #   whitelist semantics (unlisted langs drop) and the rate-1.0
+    #   full-stratum path both exercised.
+    # - 'target': mix_corpus draws ~300 docs at shares
+    #   {en: .3, de: .3, fr: .4}; de/fr under-supply and hit the
+    #   rate cap (contribute everything), en samples at ~41% — the
+    #   declarative count->rate->threshold chain, nothing collects.
+    from .operators.sampling import mix_corpus, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    fixed = stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "zh": 1.0}, "lang", "doc_id", salt="s1"
+    ).select(F.lit("fixed").alias("variant"), "doc_id", "lang")
+    target = mix_corpus(
+        docs,
+        {"en": 0.3, "de": 0.3, "fr": 0.4},
+        total_target=300,
+        stratum_col="lang",
+        key_col="doc_id",
+        salt="s2",
+    ).select(F.lit("target").alias("variant"), "doc_id", "lang")
+    return fixed.unionByName(target)
 
 
 # ---------------------------------------------------------------------------

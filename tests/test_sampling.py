@@ -1,0 +1,96 @@
+"""Deterministic sampling/mixing: reproducibility, nesting, rates,
+and plan shape."""
+
+import pytest
+
+from neuscraper_spark.operators.sampling import (
+    deterministic_sample,
+    mix_corpus,
+    rate_to_threshold_hex,
+    stratified_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    ).cache()
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_sample_invariant_to_partitioning(spark, docs):
+    a = _ids(deterministic_sample(docs.repartition(1), 0.3, "doc_id", salt="t"))
+    b = _ids(deterministic_sample(docs.repartition(13), 0.3, "doc_id", salt="t"))
+    assert a == b and a
+
+
+def test_samples_nest_by_rate(spark, docs):
+    """Same salt: a smaller rate's sample is a SUBSET of a larger
+    rate's (threshold monotonicity) — growing a corpus draw never
+    redraws what was already selected."""
+    s25 = _ids(deterministic_sample(docs, 0.25, "doc_id", salt="t"))
+    s50 = _ids(deterministic_sample(docs, 0.5, "doc_id", salt="t"))
+    assert s25 < s50
+
+
+def test_salt_redraws(spark, docs):
+    a = _ids(deterministic_sample(docs, 0.5, "doc_id", salt="a"))
+    b = _ids(deterministic_sample(docs, 0.5, "doc_id", salt="b"))
+    assert a != b
+
+
+def test_realized_rate_near_requested(spark, docs):
+    n = docs.count()
+    got = deterministic_sample(docs, 0.5, "doc_id", salt="t").count()
+    assert abs(got / n - 0.5) < 0.1
+
+
+def test_stratified_whitelist_and_full_stratum(spark, docs):
+    out = stratified_sample(
+        docs, {"en": 0.5, "zh": 1.0}, "lang", "doc_id", salt="t"
+    ).toPandas()
+    assert set(out["lang"]) == {"en", "zh"}
+    n_zh = docs.filter("lang = 'zh'").count()
+    assert (out["lang"] == "zh").sum() == n_zh  # rate-1.0 keeps everything
+
+
+def test_mix_corpus_caps_and_shares(spark, docs):
+    out = mix_corpus(
+        docs,
+        {"en": 0.3, "de": 0.3, "fr": 0.4},
+        total_target=300,
+        stratum_col="lang",
+        key_col="doc_id",
+        salt="t",
+    ).toPandas()
+    assert set(out["lang"]) <= {"en", "de", "fr"}
+    # de and fr under-supply (70 and 64 docs vs 90/120 desired): capped
+    # strata contribute everything they have
+    assert (out["lang"] == "de").sum() == docs.filter("lang = 'de'").count()
+    assert (out["lang"] == "fr").sum() == docs.filter("lang = 'fr'").count()
+    # en samples at ~90/218
+    n_en = (out["lang"] == "en").sum()
+    assert 60 <= n_en <= 120
+
+
+def test_sample_plan_is_shuffle_free(spark, docs):
+    plan = (
+        deterministic_sample(docs, 0.3, "doc_id", salt="t")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_threshold_hex_boundaries():
+    assert rate_to_threshold_hex(0.0) == "00000000"
+    assert rate_to_threshold_hex(1.0) == "ffffffff"
+    assert rate_to_threshold_hex(0.5) == "80000000"
+    assert rate_to_threshold_hex(2.0) == "ffffffff"
