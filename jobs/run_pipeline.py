@@ -51,6 +51,31 @@ def main() -> None:
         "threshold (keeps one representative per cluster)",
     )
     ap.add_argument(
+        "--sample", type=float, default=None, metavar="RATE",
+        help="keep a deterministic md5(url)-keyed fraction of curated "
+        "rows (reproducible across runs and cluster sizes; samples "
+        "nest by rate under one salt)",
+    )
+    ap.add_argument(
+        "--mix", default=None, metavar="L=W,L=W",
+        help="target language shares for the final draw, e.g. "
+        "en=0.6,de=0.4 (strata = lang_pred; unlisted languages drop)",
+    )
+    ap.add_argument(
+        "--mix-total", type=int, default=None,
+        help="mixture budget for --mix, in units of --mix-by",
+    )
+    ap.add_argument(
+        "--mix-by", choices=["words", "docs"], default="words",
+        help="budget unit for --mix-total: n_words sum (default) or "
+        "document count",
+    )
+    ap.add_argument(
+        "--sample-salt", default="curate",
+        help="salt for --sample/--mix draws; change to redraw, reuse "
+        "to keep draws aligned across tables",
+    )
+    ap.add_argument(
         "--metrics", action="store_true",
         help="after the write, scan the committed table once and save "
         "corpus metrics (per-rule counts, keep rate, language mix) to "
@@ -86,6 +111,30 @@ def main() -> None:
             dedup_urls=args.dedup_urls,
             repetition=args.repetition_filter,
             near_dup_threshold=args.near_dup,
+        )
+    if args.mix and not args.mix_total:
+        ap.error("--mix requires --mix-total")
+    if args.sample is not None:
+        from neuscraper_spark.operators.sampling import deterministic_sample
+
+        curated = deterministic_sample(
+            curated, args.sample, key_col="url", salt=args.sample_salt
+        )
+    if args.mix:
+        from neuscraper_spark.operators.sampling import mix_corpus
+
+        targets = {}
+        for part in args.mix.split(","):
+            lang, _, w = part.partition("=")
+            targets[lang.strip()] = float(w)
+        curated = mix_corpus(
+            curated,
+            targets,
+            total_target=args.mix_total,
+            stratum_col="lang_pred",
+            key_col="url",
+            salt=args.sample_salt,
+            weight_col="n_words" if args.mix_by == "words" else None,
         )
     # partition the output by url-host bucket: stable, bounded
     # cardinality, and co-locates per-site reads downstream

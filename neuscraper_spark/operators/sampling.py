@@ -81,21 +81,32 @@ def mix_corpus(
     stratum_col: str,
     key_col: str,
     salt: str = "",
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Draw ~``total_target`` rows at the given stratum shares
+    """Draw ~``total_target`` units at the given stratum shares
     (``targets`` sum to 1): each stratum's rate is
-    ``min(1, share * total_target / stratum_count)`` — an
+    ``min(1, share * total_target / stratum_supply)`` — an
     under-supplied stratum contributes everything it has (capped, not
     re-normalized; the report tells you the mixture you actually got).
 
-    Fully declarative: counts come from a groupBy agg that re-joins by
-    stratum (broadcast — #strata is small by contract), the rate turns
-    into an 8-hex threshold with native expressions, and the final
-    predicate is the same per-row hash filter. Nothing collects.
+    ``weight_col`` switches the unit from rows to that column's sum —
+    pass a token/char count to hit a TOKEN budget (the target a
+    training mix is actually specified in): supply becomes
+    sum(weight) per stratum and the expected sampled weight is
+    share*total_target, because a uniform row draw at rate r keeps
+    ~r of the stratum's weight in expectation.
+
+    Fully declarative: supplies come from a groupBy agg that re-joins
+    by stratum (broadcast — #strata is small by contract), the rate
+    turns into an 8-hex threshold with native expressions, and the
+    final predicate is the same per-row hash filter. Nothing collects.
     """
     pairs = [(s, float(w)) for s, w in sorted(targets.items())]
     share = F.create_map(*[F.lit(x) for p in pairs for x in p])[F.col(stratum_col)]
-    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    supply = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    ).cast("double")
+    counts = df.groupBy(stratum_col).agg(supply.alias("_n"))
     # least() ignores NULL on both Spark and DuckDB (least(1.0, NULL)
     # == 1.0), so an unlisted stratum would silently get rate 1.0 —
     # gate on the share lookup explicitly to keep whitelist semantics

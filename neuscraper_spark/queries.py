@@ -1258,6 +1258,23 @@ def _sample_mix_sql() -> str:
            OR substr(md5('s2' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
               lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
                    8, '0'))
+    UNION ALL
+    SELECT 'tokens' AS variant, d.doc_id, d.lang
+    FROM documents d
+    JOIN (
+      SELECT lang,
+             least(CAST(1.0 AS DOUBLE),
+                   CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                             WHEN 'zh' THEN CAST(0.5 AS DOUBLE) END
+                   * CAST(120000.0 AS DOUBLE)
+                   / CAST(sum(n_chars) AS DOUBLE)) AS rate
+      FROM documents WHERE lang IN ('en', 'zh') GROUP BY lang
+    ) r ON d.lang = r.lang
+    WHERE r.rate IS NOT NULL
+      AND (r.rate >= 1.0
+           OR substr(md5('s3' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
+              lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
+                   8, '0'))
     """
 
 
@@ -1276,12 +1293,16 @@ def q_sample_mix(spark, sf_dir):
     #   {en: .3, de: .3, fr: .4}; de/fr under-supply and hit the
     #   rate cap (contribute everything), en samples at ~41% — the
     #   declarative count->rate->threshold chain, nothing collects.
+    # - 'tokens': the same mix under a CHAR budget (weight_col =
+    #   n_chars, the unit a training mix is actually specified in):
+    #   ~120k chars split evenly en/zh.
     from .operators.sampling import mix_corpus, stratified_sample
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out_cols = [F.col("doc_id"), F.col("lang")]
     fixed = stratified_sample(
         docs, {"en": 0.5, "de": 0.25, "zh": 1.0}, "lang", "doc_id", salt="s1"
-    ).select(F.lit("fixed").alias("variant"), "doc_id", "lang")
+    ).select(F.lit("fixed").alias("variant"), *out_cols)
     target = mix_corpus(
         docs,
         {"en": 0.3, "de": 0.3, "fr": 0.4},
@@ -1289,8 +1310,17 @@ def q_sample_mix(spark, sf_dir):
         stratum_col="lang",
         key_col="doc_id",
         salt="s2",
-    ).select(F.lit("target").alias("variant"), "doc_id", "lang")
-    return fixed.unionByName(target)
+    ).select(F.lit("target").alias("variant"), *out_cols)
+    tokens = mix_corpus(
+        docs,
+        {"en": 0.5, "zh": 0.5},
+        total_target=120000,
+        stratum_col="lang",
+        key_col="doc_id",
+        salt="s3",
+        weight_col="n_chars",
+    ).select(F.lit("tokens").alias("variant"), *out_cols)
+    return fixed.unionByName(target).unionByName(tokens)
 
 
 # ---------------------------------------------------------------------------

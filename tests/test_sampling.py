@@ -79,6 +79,34 @@ def test_mix_corpus_caps_and_shares(spark, docs):
     assert 60 <= n_en <= 120
 
 
+def test_mix_corpus_token_budget(spark):
+    """weight_col switches the unit to sum(weight): the realized
+    sampled char mass lands near each stratum's share of the budget."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    budget = 120_000
+    out = mix_corpus(
+        docs,
+        {"en": 0.5, "zh": 0.5},
+        total_target=budget,
+        stratum_col="lang",
+        key_col="doc_id",
+        salt="t",
+        weight_col="n_chars",
+    ).toPandas()
+    assert set(out["lang"]) <= {"en", "zh"}
+    got = out.groupby("lang")["n_chars"].sum()
+    for lang in got.index:
+        supply = (
+            docs.filter(docs.lang == lang)
+            .agg({"n_chars": "sum"})
+            .first()[0]
+        )
+        want = min(0.5 * budget, supply)
+        assert abs(got[lang] - want) / want < 0.35, (lang, got[lang], want)
+
+
 def test_sample_plan_is_shuffle_free(spark, docs):
     plan = (
         deterministic_sample(docs, 0.3, "doc_id", salt="t")

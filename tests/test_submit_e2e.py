@@ -50,6 +50,13 @@ def test_spark_submit_pipeline_and_resume(spark, input_parquet, tmp_path):
         os.path.join(REPO, "jobs", "run_pipeline.py"),
         "--input", input_parquet, "--output", out_table,
         "--partitions", "4", "--fused", "--dedup-urls", "--metrics",
+        # sampling/mixing plumbing rides the same submit: a 0.9
+        # deterministic draw (same rows on the resume re-run, so row
+        # counts still converge) and a mix whose huge budget caps every
+        # stratum at rate 1.0 (drops nothing; langid emits only these 4)
+        "--sample", "0.9",
+        "--mix", "en=0.25,de=0.25,es=0.25,fr=0.25",
+        "--mix-total", "100000000", "--mix-by", "words",
     ]
     env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=420, env=env)
