@@ -355,6 +355,10 @@ class TableWriter:
             "committed_now": sorted(committed),
             "total_committed": sorted(self.committed_partitions()),
             "rows_written": sum(m["n_rows"] for m in metrics.values()),
+            # deletes in force when this snapshot was taken: time-travel
+            # here re-applies exactly these (a deleted key appended
+            # again stays invisible — global equality semantics)
+            "deletes": [d["name"] for d in self.committed_deletes()],
         }
         with open(
             os.path.join(self.snapshot_dir, f"snap-{snapshot['snapshot_id']}.json"), "w"
@@ -405,6 +409,7 @@ class TableWriter:
         committed yet."""
         self._finish_compaction()  # a crashed compact() must not hide rows
         reg, target_id, done = self._visible(snapshot_id)
+        deletes = self._visible_deletes(snapshot_id)
         saved = self.schema_as_of(target_id) if reg is not None else None
         if not done:
             if saved is not None:
@@ -412,7 +417,11 @@ class TableWriter:
             return spark.createDataFrame([], schema=f"{self.partition_col} string")
         if saved is None:
             # no schema log (foreign table): single inferred scan
-            return spark.read.parquet(self.data_dir).filter(self._pstr().isin(*done))
+            return self._apply_deletes(
+                spark,
+                spark.read.parquet(self.data_dir).filter(self._pstr().isin(*done)),
+                deletes,
+            )
 
         default_of = self._defaults()
         parts = []
@@ -432,7 +441,7 @@ class TableWriter:
         df = parts[0]
         for extra in parts[1:]:
             df = df.unionByName(extra)
-        return df
+        return self._apply_deletes(spark, df, deletes)
 
     def _visible(self, snapshot_id: int | None) -> tuple[dict | None, int | None, set]:
         """(schema registry, target schema id, visible partitions) for a
@@ -572,7 +581,9 @@ class TableWriter:
         df = parts[0]
         for extra in parts[1:]:
             df = df.unionByName(extra)
-        return df.filter(cond)
+        return self._apply_deletes(
+            spark, df.filter(cond), self._visible_deletes(snapshot_id)
+        )
 
     def partition_metrics(self) -> dict[str, dict]:
         out = {}
@@ -580,6 +591,151 @@ class TableWriter:
             with open(self._manifest_path(p)) as f:
                 out[p] = json.load(f)
         return out
+
+    # ------------------------------------------------------------- deletes
+
+    @property
+    def deletes_dir(self) -> str:
+        return os.path.join(self.root, "_deletes")
+
+    def committed_deletes(self) -> list[dict]:
+        """Visible equality-delete files, oldest first: a delete is
+        committed iff its .json marker exists (the data dir alone is an
+        orphan of a crashed delete_where and is invisible)."""
+        if not os.path.isdir(self.deletes_dir):
+            return []
+        out = []
+        for name in os.listdir(self.deletes_dir):
+            if name.endswith(".json"):
+                with open(os.path.join(self.deletes_dir, name)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda d: d["ordinal"])
+
+    def _clean_orphan_deletes(self) -> None:
+        marked = {d["name"] for d in self.committed_deletes()}
+        if not os.path.isdir(self.deletes_dir):
+            return
+        for name in os.listdir(self.deletes_dir):
+            path = os.path.join(self.deletes_dir, name)
+            if os.path.isdir(path) and name not in marked:
+                shutil.rmtree(path)
+
+    def delete_where(self, spark: SparkSession, predicate: str,
+                     key_col: str = "url") -> dict:
+        """Row-level delete by equality keys — the Iceberg v2
+        merge-on-read shape, and the operation a web-corpus table
+        actually needs (retroactive PII / takedown / right-to-be-
+        forgotten erasure): no partition is rewritten at delete time;
+        the matching rows' ``key_col`` values are written as a delete
+        file that every read anti-joins away, and a later
+        ``compact(apply_deletes=True)`` physically rewrites them out.
+
+        Deliberate divergence from Iceberg's sequence-number scoping,
+        suited to erasure: the delete is GLOBAL — a key deleted once
+        stays invisible even if a later append re-ingests it (a
+        re-crawl of a taken-down page must not resurrect it). Reads
+        before the delete's snapshot still time-travel to the
+        undeleted view until the delete is materialized.
+
+        Crash-safe: keys land in ``_deletes/del-<n>.tmp`` (Spark
+        write), the dir renames into place, and only then the .json
+        marker commits (tmp+fsync+rename) — a crash at any point
+        leaves an invisible orphan dir that the next entry cleans.
+        """
+        self._finish_compaction()
+        self._clean_orphan_deletes()
+        os.makedirs(self.deletes_dir, exist_ok=True)
+        existing = self.committed_deletes()
+        ordinal = (existing[-1]["ordinal"] + 1) if existing else 0
+        name = f"del-{ordinal}"
+        ddir = os.path.join(self.deletes_dir, name)
+        tmp = ddir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        keys = self.read(spark).filter(predicate).select(key_col).distinct()
+        keys.write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, ddir)
+        import pyarrow.parquet as pq
+
+        n_keys = sum(
+            pq.ParquetFile(os.path.join(ddir, fn)).metadata.num_rows
+            for fn in os.listdir(ddir)
+            if fn.endswith(".parquet")
+        )
+        marker = {
+            "name": name,
+            "ordinal": ordinal,
+            "key_col": key_col,
+            "predicate": predicate,
+            "n_keys": n_keys,
+            "created_at": time.time(),
+        }
+        mpath = os.path.join(self.deletes_dir, name + ".json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(marker, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mpath + ".tmp", mpath)
+
+        snapshot = {
+            "snapshot_id": len(os.listdir(self.snapshot_dir))
+            if os.path.isdir(self.snapshot_dir) else 0,
+            "delete": marker,
+            "deletes": [d["name"] for d in self.committed_deletes()],
+            "total_committed": sorted(self.committed_partitions()),
+            "rows_written": 0,
+        }
+        reg = self._load_schema_registry()
+        if reg is not None:
+            snapshot["schema_id"] = reg["current_id"]
+        if os.path.isdir(self.snapshot_dir):
+            with open(os.path.join(
+                self.snapshot_dir, f"snap-{snapshot['snapshot_id']}.json"
+            ), "w") as f:
+                json.dump(snapshot, f)
+        return snapshot
+
+    def _visible_deletes(self, snapshot_id: int | None) -> list[dict]:
+        """Delete files a read must apply: all committed ones, or — for
+        time travel — the set recorded in that snapshot (pre-delete
+        snapshots carry none, so they still show the undeleted rows)."""
+        committed = {d["name"]: d for d in self.committed_deletes()}
+        if snapshot_id is None:
+            return list(committed.values())
+        snaps = self.snapshots()
+        names = {s["snapshot_id"]: s for s in snaps}.get(snapshot_id, {}).get(
+            "deletes", []
+        )
+        # a materialized delete's effect is baked into the data files,
+        # so re-applying it is a no-op — skip silently; an UNKNOWN name
+        # means the table lost state and must fail loudly
+        baked = {n for s in snaps for n in s.get("materialized_deletes", [])}
+        missing = [n for n in names if n not in committed and n not in baked]
+        if missing:
+            raise ValueError(
+                f"snapshot {snapshot_id} references removed delete "
+                f"files {missing}"
+            )
+        return [committed[n] for n in names if n in committed]
+
+    def _apply_deletes(self, spark: SparkSession, df: DataFrame,
+                       deletes: list[dict]) -> DataFrame:
+        """Anti-join the delete keys away, one join per distinct key
+        column (normally one). The key sets are small relative to the
+        table by nature (erasure requests), so AQE broadcasts them; the
+        join is the whole merge-on-read cost."""
+        if not deletes or not df.columns:
+            return df
+        by_col: dict[str, list[str]] = {}
+        for d in deletes:
+            by_col.setdefault(d["key_col"], []).append(
+                os.path.join(self.deletes_dir, d["name"])
+            )
+        for col, dirs in sorted(by_col.items()):
+            if col not in df.columns:
+                continue
+            keys = spark.read.parquet(*dirs).select(col).distinct()
+            df = df.join(keys, on=col, how="left_anti")
+        return df
 
     # ------------------------------------------------------------- compact
 
@@ -620,7 +776,8 @@ class TableWriter:
         os.unlink(self._compact_marker)
         return True
 
-    def compact(self, spark: SparkSession, min_files: int = 2) -> dict:
+    def compact(self, spark: SparkSession, min_files: int = 2,
+                apply_deletes: bool = False) -> dict:
         """Merge each committed partition's many small parquet files
         into one — the Iceberg ``rewrite_data_files`` maintenance op.
         A 100 TB table written by wide jobs accumulates
@@ -639,22 +796,39 @@ class TableWriter:
         Partition-level visibility (committed_partitions) is never
         touched, so prior snapshots remain valid — compaction changes
         bytes layout, not table contents. Appends a snapshot entry
-        summarizing what was rewritten."""
+        summarizing what was rewritten.
+
+        ``apply_deletes=True`` additionally MATERIALIZES the committed
+        equality-delete files (Iceberg's rewrite-with-deletes): every
+        committed partition is rewritten with the delete keys
+        anti-joined out, and the delete files are then removed. This is
+        the erasure completion step — after it, the deleted rows are
+        gone from STORAGE, so time-travel to pre-delete snapshots no
+        longer resurrects them (the point of a takedown; analogous to
+        how overwrite expires snapshots). A crash mid-run is safe: the
+        per-partition swap rolls forward, and delete files are removed
+        only after every partition is clean, so reads keep anti-joining
+        until then."""
         import pyarrow.parquet as pq
 
         self._finish_compaction()
+        self._clean_orphan_deletes()
+        deletes = self.committed_deletes() if apply_deletes else []
         rewritten: dict[str, dict] = {}
         for p, pdir in sorted(self._data_partitions().items()):
             if p not in self.committed_partitions():
                 continue  # orphan of a crashed write; resume owns it
             files = [fn for fn in os.listdir(pdir) if fn.endswith(".parquet")]
-            if len(files) < min_files:
+            if len(files) < min_files and not deletes:
                 continue
             old_manifest = self.partition_metrics()[p]
             tmp = pdir + ".compact_tmp"
             shutil.rmtree(tmp, ignore_errors=True)
             # rows only — the partition column lives in the dir name
-            spark.read.parquet(pdir).coalesce(1).write.mode("overwrite").parquet(tmp)
+            scan = spark.read.parquet(pdir)
+            if deletes:
+                scan = self._apply_deletes(spark, scan, deletes)
+            scan.coalesce(1).write.mode("overwrite").parquet(tmp)
             new_files, n_rows = [], 0
             for fn in sorted(os.listdir(tmp)):
                 if fn.endswith(".parquet"):
@@ -662,13 +836,21 @@ class TableWriter:
                     n_rows += meta.num_rows
                     new_files.append({"file": fn, "rows": meta.num_rows,
                                       "stats": _file_column_stats(meta)})
-            if n_rows != old_manifest["metrics"]["n_rows"]:
+            if not deletes and n_rows != old_manifest["metrics"]["n_rows"]:
                 shutil.rmtree(tmp)
                 raise RuntimeError(
                     f"compaction row-count mismatch for partition {p!r}: "
                     f"{n_rows} != {old_manifest['metrics']['n_rows']} — aborted"
                 )
+            if deletes and n_rows > old_manifest["metrics"]["n_rows"]:
+                shutil.rmtree(tmp)
+                raise RuntimeError(
+                    f"delete materialization GREW partition {p!r}: "
+                    f"{n_rows} > {old_manifest['metrics']['n_rows']} — aborted"
+                )
             payload = dict(old_manifest)
+            payload["metrics"] = dict(old_manifest["metrics"])
+            payload["metrics"]["n_rows"] = n_rows
             payload["lineage"] = dict(old_manifest["lineage"])
             payload["lineage"]["files"] = new_files
             payload["lineage"]["compacted_at"] = time.time()
@@ -692,6 +874,19 @@ class TableWriter:
             os.unlink(self._compact_marker)
             rewritten[p] = {"files_before": len(files), "files_after": len(new_files)}
 
+        materialized = []
+        if deletes:
+            # every committed partition is now physically clean: retire
+            # the delete files (marker first — once it is gone the
+            # delete is invisible; a crash before the rmtree leaves an
+            # orphan dir the next entry cleans)
+            for d in deletes:
+                os.unlink(os.path.join(self.deletes_dir, d["name"] + ".json"))
+                shutil.rmtree(
+                    os.path.join(self.deletes_dir, d["name"]), ignore_errors=True
+                )
+                materialized.append(d["name"])
+
         snapshot = {
             "snapshot_id": len(os.listdir(self.snapshot_dir))
             if os.path.isdir(self.snapshot_dir)
@@ -699,7 +894,10 @@ class TableWriter:
             "compaction": rewritten,
             "total_committed": sorted(self.committed_partitions()),
             "rows_written": 0,
+            "deletes": [d["name"] for d in self.committed_deletes()],
         }
+        if materialized:
+            snapshot["materialized_deletes"] = materialized
         if os.path.isdir(self.snapshot_dir):
             with open(
                 os.path.join(
