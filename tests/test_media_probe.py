@@ -17,6 +17,41 @@ def _mp3_frame(bitrate_idx=9, kbps=128, sr=44100, padding=0):
     return header + b"\x00" * (frame_len - 4)
 
 
+import glob as _glob
+
+# real third-party MP3s found on the host (gsutil ships a tiny test
+# asset) — the JPEG-validation precedent: glob-discovered, no
+# env-specific strings beyond public package layouts, skipped
+# gracefully where absent
+_REAL_MP3_GLOBS = [
+    "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/*.mp3",
+    "/usr/share/sounds/**/*.mp3",
+]
+_REAL_MP3S = sorted(
+    {p for g in _REAL_MP3_GLOBS for p in _glob.glob(g, recursive=True)}
+)
+
+
+@pytest.mark.skipif(not _REAL_MP3S, reason="no third-party MP3s on this host")
+def test_mp3_probe_real_world_files():
+    """The probe's numbers must be self-consistent on real files:
+    duration == frames * samples_per_frame / rate, and the implied
+    byte budget (bitrate * duration / 8) must land near the actual
+    audio payload size (CBR) — cross-checks the frame walk, the
+    version/layer tables, and the ID3 skip against reality."""
+    for path in _REAL_MP3S:
+        payload = open(path, "rb").read()
+        info = probe_mp3(payload)
+        assert info["frames"] > 0, path
+        spf = 1152 if info["sample_rate"] >= 32000 else 576
+        assert info["duration_sec"] == pytest.approx(
+            info["frames"] * spf / info["sample_rate"], rel=1e-3
+        ), path
+        if not info["vbr"]:
+            implied = info["bitrate_kbps"] * 1000 * info["duration_sec"] / 8
+            assert abs(implied - len(payload)) / len(payload) < 0.15, path
+
+
 def test_mp3_cbr_frames_and_duration():
     payload = _mp3_frame() * 5
     m = probe_mp3(payload)
