@@ -76,6 +76,12 @@ def main() -> None:
         "to keep draws aligned across tables",
     )
     ap.add_argument(
+        "--expect", action="store_true",
+        help="write-audit-publish: audit the written bytes against the "
+        "curated-table expectations (url unique/non-empty, lang in "
+        "set, ranges) and refuse to commit a violating batch",
+    )
+    ap.add_argument(
         "--metrics", action="store_true",
         help="after the write, scan the committed table once and save "
         "corpus metrics (per-rule counts, keep rate, language mix) to "
@@ -143,7 +149,12 @@ def main() -> None:
     )
 
     writer = TableWriter(args.output, partition_col="host_bucket")
-    snapshot = writer.write(curated, mode=args.mode)
+    expectations = None
+    if args.expect:
+        from neuscraper_spark.operators.expectations import CURATED_RULES
+
+        expectations = CURATED_RULES
+    snapshot = writer.write(curated, mode=args.mode, expectations=expectations)
     print(f"committed partitions: {len(snapshot['committed_now'])}, "
           f"rows: {snapshot['rows_written']}")
     if args.compact:

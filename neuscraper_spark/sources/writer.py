@@ -252,7 +252,8 @@ class TableWriter:
     # ---------------------------------------------------------------- write
 
     def write(self, df: DataFrame, mode: str = "resume",
-              evolve: bool = False, defaults: dict | None = None) -> dict:
+              evolve: bool = False, defaults: dict | None = None,
+              expectations: dict | None = None) -> dict:
         """Write df partitioned by partition_col with per-partition
         manifests. mode: 'resume' skips committed partitions (idempotent
         restart); 'overwrite' recommits everything.
@@ -263,6 +264,16 @@ class TableWriter:
         applied when reading pre-evolution partitions — Iceberg v3's
         initial-default. Without the flag a widened append raises, so
         evolution is always an explicit act.
+
+        ``expectations`` (operators.expectations rules) turns the write
+        into WRITE-AUDIT-PUBLISH: the data lands as usual, the audit
+        reads back the just-written (still uncommitted, hence
+        invisible) bytes in one aggregation pass, and ONLY a clean
+        audit commits the manifests. On violation ExpectationError is
+        raised with the report, the new partitions stay invisible to
+        every read, and the next resume-mode write rewrites them —
+        a bad batch can never be published. The report (pass or fail)
+        is saved under ``_audits/``.
 
         Returns the snapshot dict (written to _snapshots too).
         """
@@ -323,6 +334,30 @@ class TableWriter:
                     files.append({"file": fn, "rows": fmeta.num_rows,
                                   "stats": _file_column_stats(fmeta)})
             metrics[p] = {"n_rows": n_rows, "files": files}
+
+        # AUDIT gate (write-audit-publish): scan the bytes just written
+        # — not the input plan, so the audit sees exactly what a reader
+        # would — and refuse to publish a violating batch
+        if expectations and metrics:
+            from ..operators.expectations import ExpectationError, audit
+
+            pdirs = self._data_partitions()
+            new_dirs = [pdirs[p] for p in metrics]
+            spark = df.sparkSession
+            scan = spark.read.option("basePath", self.data_dir).parquet(*new_dirs)
+            report = audit(scan, expectations)
+            report["partitions_audited"] = sorted(metrics)
+            os.makedirs(os.path.join(self.root, "_audits"), exist_ok=True)
+            ordinal = len(os.listdir(os.path.join(self.root, "_audits")))
+            report["passed"] = not any(report["violations"].values())
+            with open(
+                os.path.join(self.root, "_audits", f"audit-{ordinal}.json"), "w"
+            ) as f:
+                json.dump(report, f)
+            if not report["passed"]:
+                # leave the partitions unmanifested: invisible to every
+                # read; the next resume-mode write rewrites them
+                raise ExpectationError(report)
 
         # commit manifests AFTER the data lands (write tmp, fsync,
         # rename): a crash in between leaves the partition uncommitted
