@@ -170,6 +170,49 @@ def apply_corpus_filters(
     return df
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    word ``n``-gram with an evaluation set (the GPT-3 appendix-C /
+    PaLM 13-gram rule — Brown et al. 2020 §C use 13-grams; ``n`` is a
+    parameter because the right value depends on tokenizer and eval
+    suite).
+
+    Returns ``df`` plus ``n_hits`` (distinct benchmark n-grams found in
+    the document) and ``contaminated`` (n_hits > 0). Training-corpus
+    builds drop ``contaminated`` rows so eval numbers stay honest.
+
+    Scale shape: the eval set is tiny next to a 100 TB corpus, so its
+    distinct grams BROADCAST; corpus grams are generated per row (the
+    d2 gram machinery) and cut down by the broadcast hash join before
+    anything shuffles — the only exchange is the id-keyed count of hit
+    rows, which is bounded by actual contamination, not corpus size.
+    """
+    from .dedup import word_ngrams
+
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("_g"))
+        .distinct()
+    )
+    hits = (
+        df.select(id_col, F.explode(word_ngrams(text_col, n)).alias("_g"))
+        .join(F.broadcast(bench_grams), "_g")
+        # word_ngrams is distinct within a document, so count == distinct
+        .groupBy(id_col)
+        .agg(F.count("_g").alias("n_hits"))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # single-process twins (pytest parity)
 # ---------------------------------------------------------------------------

@@ -160,37 +160,43 @@ def j2_left_anti(spark, sf_dir):
 
 
 @query(
-    "j3_semi_join",
+    "j3_lookup_joins",
     """
-    SELECT c_custkey, c_mktsegment FROM customer
+    SELECT 'semi' AS variant, c_custkey AS key, c_mktsegment AS attr,
+           CAST(NULL AS BIGINT) AS n_docs
+    FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 100000)
-    """,
-)
-def j3_semi_join(spark, sf_dir):
-    customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_mktsegment")
-
-
-@query(
-    "j3_gold_lookup",
-    """
-    SELECT d.doc_id, d.lang, s.n_docs
+    UNION ALL
+    SELECT 'gold', d.doc_id, d.lang, s.n_docs
     FROM documents d
     LEFT JOIN (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) s
       ON d.source = s.source
     """,
 )
-def j3_gold_lookup(spark, sf_dir):
-    # J3: per-key grouped dim joined back (evaluator.py:47-59 shape)
+def j3_lookup_joins(spark, sf_dir):
+    # J3's two faces share one driver row (variant-tagged union): the
+    # gold semi-join and the grouped-dim lookup (evaluator.py:47-59)
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    semi = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select(
+            F.lit("semi").alias("variant"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_mktsegment").alias("attr"),
+            F.lit(None).cast("long").alias("n_docs"),
+        )
+    )
     docs = _t(spark, sf_dir, "documents")
     dim = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    return docs.alias("d").join(F.broadcast(dim), "source", "left").select(
-        "doc_id", "lang", "n_docs"
+    gold = docs.alias("d").join(F.broadcast(dim), "source", "left").select(
+        F.lit("gold").alias("variant"),
+        F.col("doc_id").alias("key"),
+        F.col("lang").alias("attr"),
+        "n_docs",
     )
+    return semi.unionByName(gold)
 
 
 # ---------------------------------------------------------------------------
@@ -303,14 +309,36 @@ def a4_a5_metrics(spark, sf_dir):
     )
 
 
-@query("a6_distinct", "SELECT DISTINCT lang, source FROM documents")
-def a6_distinct(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select("lang", "source").distinct()
-
-
-@query("a7_count", "SELECT count(*) AS n_rows FROM lineitem")
-def a7_count(spark, sf_dir):
-    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+@query(
+    "a6_a7_distinct_count",
+    """
+    SELECT 'a6_distinct' AS variant, lang, source, CAST(NULL AS BIGINT) AS n_rows
+    FROM (SELECT DISTINCT lang, source FROM documents)
+    UNION ALL
+    SELECT 'a7_count', NULL, NULL, count(*) FROM lineitem
+    """,
+)
+def a6_a7_distinct_count(spark, sf_dir):
+    # A6 + A7 share one driver row (variant-tagged union — the
+    # 50-row-window consolidation pattern); both operators stay intact.
+    a6 = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "source")
+        .distinct()
+        .select(
+            F.lit("a6_distinct").alias("variant"),
+            "lang",
+            "source",
+            F.lit(None).cast("long").alias("n_rows"),
+        )
+    )
+    a7 = _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows")).select(
+        F.lit("a7_count").alias("variant"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        "n_rows",
+    )
+    return a6.unionByName(a7)
 
 
 # ---------------------------------------------------------------------------
@@ -2189,4 +2217,126 @@ def q_rule_funnel(spark, sf_dir):
         cnt(F.col("pii_count") > 0, "n_with_pii"),
         cnt(F.col("toxic_hits") > 0, "n_toxic"),
         cnt(F.col("keep_hq"), "n_keep_hq"),
+    )
+
+
+_DECON_SQL = """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9à-ÿ'']+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    -- deterministic contamination injection (the corpus is synthetic
+    -- vocab soup, so natural 8-gram overlap is ~nil — the q_quality_tail
+    -- pattern: both engines plant the same needles): docs with
+    -- id % 40 = 7 get the first-8-words snippet of benchmark doc id-7
+    snips AS (
+      SELECT doc_id + 7 AS doc_id, array_to_string(ws[1:8], ' ') AS snip
+      FROM words WHERE doc_id % 40 = 0
+    ),
+    aug AS (
+      SELECT d.doc_id,
+             CASE WHEN s.snip IS NOT NULL THEN d.text || ' ' || s.snip
+                  ELSE d.text END AS text
+      FROM documents d LEFT JOIN snips s USING (doc_id)
+    ),
+    aw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9à-ÿ'']+'),
+                         w -> w <> '') AS ws
+      FROM aug WHERE doc_id % 40 <> 0
+    ),
+    bgrams AS (
+      SELECT DISTINCT array_to_string(ws[i:i+7], '␟') AS g
+      FROM words, UNNEST(generate_series(1, greatest(len(ws) - 7, 0))) AS t(i)
+      WHERE doc_id % 40 = 0
+    ),
+    cgrams AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], '␟') AS g
+      FROM aw, UNNEST(generate_series(1, greatest(len(ws) - 7, 0))) AS t(i)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM cgrams JOIN bgrams USING (g)
+    GROUP BY doc_id
+"""
+
+
+@query("q_decontaminate", _DECON_SQL)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination (operators/curation.py
+    decontaminate): benchmark = docs with id % 40 = 0; contamination is
+    planted deterministically on both engines (docs with id % 40 = 7
+    get a benchmark doc's first-8-words snippet appended), then the
+    operator must flag exactly the planted docs plus any natural
+    collisions — both engines compute the same set."""
+    from .operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9à-ÿ']+"),
+        lambda w: w != F.lit(""),
+    )
+    snips = (
+        docs.select(
+            (F.col("doc_id") + 7).alias("doc_id"),
+            F.array_join(F.slice(ws, 1, 8), " ").alias("_snip"),
+        )
+        .filter((F.col("doc_id") - 7) % 40 == 0)
+    )
+    aug = (
+        docs.join(snips, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_snip").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "), F.col("_snip")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    corpus = aug.filter(F.col("doc_id") % 40 != 0)
+    return (
+        decontaminate(corpus, bench, n=8)
+        .filter("contaminated")
+        .select("doc_id", "n_hits")
+    )
+
+
+_PACK_SQL = """
+    WITH RECURSIVE ranked AS (
+      SELECT doc_id % 8 AS shard, doc_id, n_chars AS cost,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, doc_id, cost, rn, CAST(0 AS BIGINT) AS seq_id, cost AS fill
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.shard, r.doc_id, r.cost, r.rn,
+             CASE WHEN p.fill + r.cost > 1024 THEN p.seq_id + 1 ELSE p.seq_id END,
+             CASE WHEN p.fill + r.cost > 1024 THEN r.cost ELSE p.fill + r.cost END
+      FROM packed p JOIN ranked r ON r.shard = p.shard AND r.rn = p.rn + 1
+    )
+    SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(cost) AS BIGINT) AS bin_chars
+    FROM packed GROUP BY shard, seq_id
+"""
+
+
+@query("q_pack_greedy", _PACK_SQL)
+def q_pack_greedy(spark, sf_dir):
+    """Greedy sequence packing (operators/packing.py): docs into
+    1024-char bins across 8 shards; the oracle replays the greedy fill
+    with a recursive CTE. Per-bin summary keeps the result compact
+    while still hashing every assignment (a moved doc changes its
+    bin's n_docs/bin_chars)."""
+    from .operators.packing import pack_greedy
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_greedy(docs, budget=1024, cost_col="n_chars", n_shards=8)
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"), F.sum("cost").alias("bin_chars")
     )
