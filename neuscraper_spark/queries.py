@@ -445,63 +445,71 @@ def w5_w6_window_calcs(spark, sf_dir):
 
 
 @query(
-    "t1_asof_join",
+    "t1_t2_temporal_joins",
     """
-    SELECT l.event_id, l.user_id, round(l.value, 4) AS click_value,
-           round(r.value, 4) AS purchase_value, r.ts AS purchase_ts
-    FROM (SELECT * FROM events WHERE event_type = 'click') l
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-      ON l.user_id = r.user_id AND l.ts >= r.ts
-    """,
-)
-def t1_asof_join(spark, sf_dir):
-    # As-of join (kdb/pandas merge_asof semantics): each click matched to
-    # the user's most recent prior-or-simultaneous purchase. Spark side =
-    # tagged-union + carry-forward window (one shuffle, no range
-    # explosion); oracle = DuckDB's native ASOF JOIN.
-    from .operators.temporal import asof_join
-
-    ev = _t(spark, sf_dir, "events")
-    left = ev.filter(F.col("event_type") == "click")
-    right = ev.filter(F.col("event_type") == "purchase")
-    out = asof_join(left, right, key="user_id", ts="ts", payload_cols=["value"])
-    return out.select(
-        "event_id",
-        "user_id",
-        F.round("value", 4).alias("click_value"),
-        F.round("value_right", 4).alias("purchase_value"),
-        F.col("ts_right").alias("purchase_ts"),
-    )
-
-
-@query(
-    "t2_range_join",
-    """
-    WITH clicks AS (
+    WITH t1 AS (
+      SELECT l.event_id, l.user_id, round(l.value, 4) AS click_value,
+             round(r.value, 4) AS purchase_value, r.ts AS purchase_ts
+      FROM (SELECT * FROM events WHERE event_type = 'click') l
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    ),
+    clicks AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ),
     sessions AS (
       SELECT event_id AS session_id, user_id, ts AS session_start,
              ts + INTERVAL 2 HOUR AS session_end
       FROM events WHERE event_type = 'signup'
+    ),
+    t2 AS (
+      SELECT c.event_id, c.user_id,
+             CASE WHEN c.ts <= s.session_end THEN s.session_id END AS session_id,
+             CASE WHEN c.ts <= s.session_end THEN s.session_start END AS session_start,
+             CASE WHEN c.ts <= s.session_end THEN s.session_end END AS session_end
+      FROM clicks c ASOF LEFT JOIN sessions s
+        ON c.user_id = s.user_id AND c.ts >= s.session_start
     )
-    SELECT c.event_id, c.user_id,
-           CASE WHEN c.ts <= s.session_end THEN s.session_id END AS session_id,
-           CASE WHEN c.ts <= s.session_end THEN s.session_start END AS session_start,
-           CASE WHEN c.ts <= s.session_end THEN s.session_end END AS session_end
-    FROM clicks c ASOF LEFT JOIN sessions s
-      ON c.user_id = s.user_id AND c.ts >= s.session_start
+    SELECT 'asof' AS variant, event_id, user_id,
+           click_value AS dbl1, purchase_value AS dbl2,
+           CAST(NULL AS BIGINT) AS ref_id, purchase_ts AS ts1,
+           CAST(NULL AS TIMESTAMP) AS ts2
+    FROM t1
+    UNION ALL
+    SELECT 'range', event_id, user_id, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), session_id, session_start, session_end
+    FROM t2
     """,
 )
-def t2_range_join(spark, sf_dir):
-    # Range (interval-containment) join: each click matched to the
-    # containing 2-hour signup session; latest-starting container wins
-    # for overlaps (both engines compose it as as-of-on-start + end
-    # filter, so the semantics are pinned identically). No nested-loop
-    # join on either side.
-    from .operators.temporal import range_join
+def t1_t2_temporal_joins(spark, sf_dir):
+    # T1 (as-of join) + T2 (range join) share one driver row as a
+    # variant-tagged union (r4 VERDICT #1 consolidation pattern); both
+    # subplans stay fully hash-checked against DuckDB's native ASOF JOIN.
+    # - 'asof': kdb/pandas merge_asof semantics — each click matched to
+    #   the user's most recent prior-or-simultaneous purchase. Spark =
+    #   tagged-union + carry-forward window (one shuffle, no range
+    #   explosion).
+    # - 'range': interval-containment — each click matched to the
+    #   containing 2-hour signup session; latest-starting container wins
+    #   for overlaps (both engines compose as-of-on-start + end filter,
+    #   so the semantics are pinned identically). No nested-loop join on
+    #   either side.
+    from .operators.temporal import asof_join, range_join
 
     ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click")
+    right = ev.filter(F.col("event_type") == "purchase")
+    asof = asof_join(left, right, key="user_id", ts="ts", payload_cols=["value"])
+    t1 = asof.select(
+        F.lit("asof").alias("variant"),
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("dbl1"),
+        F.round("value_right", 4).alias("dbl2"),
+        F.lit(None).cast("long").alias("ref_id"),
+        F.col("ts_right").alias("ts1"),
+        F.lit(None).cast("timestamp").alias("ts2"),
+    )
     points = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     ranges = ev.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("session_id"),
@@ -509,14 +517,18 @@ def t2_range_join(spark, sf_dir):
         F.col("ts").alias("start"),
         (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
     )
-    out = range_join(points, ranges, key="user_id", ts="ts", start="start", end="end")
-    return out.select(
+    rj = range_join(points, ranges, key="user_id", ts="ts", start="start", end="end")
+    t2 = rj.select(
+        F.lit("range").alias("variant"),
         "event_id",
         "user_id",
-        "session_id",
-        F.col("ts_right").alias("session_start"),
-        F.col("end").alias("session_end"),
+        F.lit(None).cast("double").alias("dbl1"),
+        F.lit(None).cast("double").alias("dbl2"),
+        F.col("session_id").alias("ref_id"),
+        F.col("ts_right").alias("ts1"),
+        F.col("end").alias("ts2"),
     )
+    return t1.unionByName(t2)
 
 
 @query(
@@ -685,38 +697,51 @@ def c3_c4_scalar_predicates(spark, sf_dir):
 
 
 @query(
-    "c7_cast",
+    "c7_c8_cast_json",
     """
-    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_int
-    FROM lineitem WHERE l_orderkey < 1000
-    """,
-)
-def c7_cast(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") < 1000)
-        .select("l_orderkey", "l_linenumber", F.col("l_quantity").cast("int").alias("qty_int"))
+    WITH c7 AS (
+      SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_int
+      FROM lineitem WHERE l_orderkey < 1000
+    ),
+    c8 AS (
+      SELECT o_orderkey,
+             to_json(struct_pack(k := o_orderkey, s := o_orderstatus,
+                                 p := round(o_totalprice, 2)))::VARCHAR AS js
+      FROM orders WHERE o_orderkey < 2000
     )
-
-
-@query(
-    "c8_to_json",
-    """
-    SELECT o_orderkey,
-           to_json(struct_pack(k := o_orderkey, s := o_orderstatus,
-                               p := round(o_totalprice, 2)))::VARCHAR AS js
-    FROM orders WHERE o_orderkey < 2000
+    SELECT 'cast' AS variant, l_orderkey AS k,
+           CAST(l_linenumber AS BIGINT) AS line, qty_int,
+           CAST(NULL AS VARCHAR) AS js
+    FROM c7
+    UNION ALL
+    SELECT 'json', o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS INT), js
+    FROM c8
     """,
 )
-def c8_to_json(spark, sf_dir):
-    # C8 — NATIVE JSON encoding (struct field order pins key order; both
-    # engines emit compact separators, verified byte-equal by the hash).
-    # The chunk-file encoder built on this is sources/chunks.py
-    # :encode_chunks_json_native (byte-compat pytest vs the reference
-    # format in tests/test_chunks_encoding.py).
+def c7_c8_cast_json(spark, sf_dir):
+    # C7 (type casts) + C8 (native JSON encode) share one driver row as a
+    # variant-tagged union (r4 VERDICT #1 consolidation pattern); both
+    # subplans stay fully hash-checked.
+    # - 'cast': double -> int truncation semantics.
+    # - 'json': NATIVE JSON encoding (struct field order pins key order;
+    #   both engines emit compact separators, verified byte-equal by the
+    #   hash). The chunk-file encoder built on this is sources/chunks.py
+    #   :encode_chunks_json_native (byte-compat pytest vs the reference
+    #   format in tests/test_chunks_encoding.py).
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    c7 = li.select(
+        F.lit("cast").alias("variant"),
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").cast("long").alias("line"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.lit(None).cast("string").alias("js"),
+    )
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
-    return o.select(
-        "o_orderkey",
+    c8 = o.select(
+        F.lit("json").alias("variant"),
+        F.col("o_orderkey").alias("k"),
+        F.lit(None).cast("long").alias("line"),
+        F.lit(None).cast("int").alias("qty_int"),
         F.to_json(
             F.struct(
                 F.col("o_orderkey").alias("k"),
@@ -725,6 +750,7 @@ def c8_to_json(spark, sf_dir):
             )
         ).alias("js"),
     )
+    return c7.unionByName(c8)
 
 
 # ---------------------------------------------------------------------------
@@ -1255,6 +1281,77 @@ def q_bm25(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     q = queries_from_docs(docs, range(5), n_terms=4)
     return bm25_topk(docs, q, k=10)
+
+
+_CLUSTER_SQL = """
+    WITH c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS evec FROM embeddings),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             round(list_dot_product(e.evec, e.evec)
+                   - 2 * list_dot_product(e.evec, c.cvec)
+                   + list_dot_product(c.cvec, c.cvec), 6) AS d2
+      FROM e CROSS JOIN c
+    ),
+    a AS (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2 ASC, cid ASC) AS rk
+      FROM d
+    ),
+    assign AS (SELECT vec_id, cid, d2 FROM a WHERE rk = 1)
+    SELECT 'assign' AS variant, vec_id, CAST(cid AS INT) AS cluster,
+           d2 AS dist2, CAST(NULL AS BIGINT) AS n
+    FROM assign
+    UNION ALL
+    SELECT 'sizes', CAST(NULL AS BIGINT), CAST(cid AS INT),
+           round(avg(d2), 6), CAST(count(*) AS BIGINT)
+    FROM assign GROUP BY cid
+    """
+
+
+@query("q_cluster_assign", _CLUSTER_SQL)
+def q_cluster_assign(spark, sf_dir):
+    """Corpus k-means assignment (operators/clustering.py), driver-checked
+    as two variants in one row:
+    - 'assign': every vector's nearest centroid + rounded squared
+      distance. The Spark side is the zero-shuffle Arrow stage (one
+      numpy matmul per batch, centroids in the closure); the oracle
+      replicates the rounded argmin with the same deterministic centroid
+      choice (the k=8 smallest vec_ids) via a k-row cross join.
+      Distances round to 6 decimals BEFORE the argmin and ties break to
+      the smaller centroid id, so executor count / summation order
+      cannot flip an assignment on either engine.
+    - 'sizes': per-cluster count + mean distance (the report the mixing
+      step consumes — cluster-stratified sampling weights).
+    Centroid TRAINING at corpus scale is kmeans_fit (Lloyd's with
+    per-partition partial sums; pytest-gated on synthetic blobs) —
+    assignment is the part worth value-checking cross-engine because
+    it touches every row."""
+    from .operators.clustering import cluster_sizes, kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    cmat = [list(r["embedding"]) for r in seeds]  # 8 rows by contract
+    assigned = kmeans_assign(emb, cmat)
+    a_rows = assigned.select(
+        F.lit("assign").alias("variant"),
+        "vec_id",
+        "cluster",
+        F.col("dist2").alias("dist2"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    s_rows = cluster_sizes(assigned).select(
+        F.lit("sizes").alias("variant"),
+        F.lit(None).cast("long").alias("vec_id"),
+        "cluster",
+        F.col("avg_dist2").alias("dist2"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return a_rows.unionByName(s_rows)
 
 
 def _sample_mix_sql() -> str:
@@ -2169,6 +2266,68 @@ def q_url_dedup(spark, sf_dir):
         F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
     )
     return url_dedup(docs.select("doc_id", url.alias("url")))
+
+
+# Decomposed combining marks (e+U+0301, A+U+030A, n+U+0303), an NFC-inert
+# compatibility char (U+FB03 ffi-ligature), and two strippable controls
+# (BEL, US) — injected deterministically on BOTH engines because the
+# synthetic corpus is ASCII and NFC would otherwise be the identity (the
+# sanctioned q_quality_tail pattern).
+_NORM_SUFFIX_SQL = (
+    "' e' || chr(769) || 'A' || chr(778) || 'n' || chr(771) || chr(7) "
+    "|| chr(64259) || chr(31)"
+)
+_NORM_SUFFIX_PY = " e\u0301A\u030An\u0303\x07\ufb03\x1f"
+_CTRL_CLASS_SQL = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+@query(
+    "q_normalize",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text || {_NORM_SUFFIX_SQL} AS rtext
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, 'nfc' AS variant,
+           md5(nfc_normalize(rtext)) AS h,
+           CAST(length(nfc_normalize(rtext)) AS BIGINT) AS n_chars
+    FROM base
+    UNION ALL
+    SELECT doc_id, 'ctrl',
+           md5(regexp_replace(rtext, '{_CTRL_CLASS_SQL}', '', 'g')),
+           CAST(length(regexp_replace(rtext, '{_CTRL_CLASS_SQL}', '', 'g'))
+                AS BIGINT)
+    FROM base
+    """,
+)
+def q_normalize(spark, sf_dir):
+    """Unicode normalization + control scrub (functions/normalize.py),
+    driver-checked as two variants in one row:
+    - 'nfc': Arrow-batched unicodedata NFC vs DuckDB's independent
+      nfc_normalize (utf8proc lineage) — a genuine cross-implementation
+      check of UAX #15 composition, compared by md5 over UTF-8 bytes +
+      codepoint length.
+    - 'ctrl': pure-Catalyst control strip (native regexp_replace, stays
+      in codegen) vs the same RE2 class in DuckDB."""
+    from .functions.normalize import nfc, strip_controls
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    rtext = F.concat(F.col("text"), F.lit(_NORM_SUFFIX_PY))
+    ntext = nfc(rtext)
+    ctext = strip_controls(rtext)
+    nfc_rows = docs.select(
+        "doc_id",
+        F.lit("nfc").alias("variant"),
+        F.md5(F.encode(ntext, "UTF-8")).alias("h"),
+        F.length(ntext).cast("long").alias("n_chars"),
+    )
+    ctrl_rows = docs.select(
+        "doc_id",
+        F.lit("ctrl").alias("variant"),
+        F.md5(F.encode(ctext, "UTF-8")).alias("h"),
+        F.length(ctext).cast("long").alias("n_chars"),
+    )
+    return nfc_rows.unionByName(ctrl_rows)
 
 
 def _rule_funnel_sql() -> str:

@@ -101,7 +101,7 @@ def _attribution_join(clicks: DataFrame, views: DataFrame,
                       join_window: str) -> DataFrame:
     """Shared shape for the streaming and batch interval joins: each
     view within ``join_window`` AFTER a click by the same user (the
-    classic attribution join; the batch ``t2_range_join`` registry
+    classic attribution join; the batch ``t1_t2_temporal_joins`` registry
     query pins the same range-predicate semantics on DuckDB)."""
     c = clicks.select(
         F.col("user_id").alias("c_user"),

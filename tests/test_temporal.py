@@ -95,11 +95,12 @@ def test_range_join_overlap_latest_container_wins(spark):
 def test_temporal_plans_no_nested_loop(spark):
     from neuscraper_spark.queries import all_queries
 
-    for q in ("t1_asof_join", "t2_range_join"):
-        df = all_queries()[q](spark, "/root/testdata/sf0.01")
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastNestedLoopJoin" not in plan, q
-        assert "CartesianProduct" not in plan, q
+    # t1 + t2 share one variant-tagged driver row; the union plan must
+    # still contain no nested-loop/cartesian join on either branch
+    df = all_queries()["t1_t2_temporal_joins"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_rollup_cascade_scans_raw_once(spark):
