@@ -445,6 +445,18 @@ class TableWriter:
         self._finish_compaction()  # a crashed compact() must not hide rows
         reg, target_id, done = self._visible(snapshot_id)
         deletes = self._visible_deletes(snapshot_id)
+        return self._scan_partitions(spark, reg, target_id, done, deletes)
+
+    def _scan_partitions(
+        self,
+        spark: SparkSession,
+        reg: dict | None,
+        target_id: int | None,
+        done: set,
+        deletes: list[dict],
+    ) -> DataFrame:
+        """Schema-aware scan of an explicit committed-partition set —
+        the shared tail of read() and read_incremental()."""
         saved = self.schema_as_of(target_id) if reg is not None else None
         if not done:
             if saved is not None:
@@ -477,6 +489,62 @@ class TableWriter:
         for extra in parts[1:]:
             df = df.unionByName(extra)
         return self._apply_deletes(spark, df, deletes)
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+        apply_deletes: bool = True,
+    ) -> DataFrame:
+        """Incremental (CDC-style) scan: rows in partitions committed
+        AFTER ``from_snapshot_id`` and visible AS OF ``to_snapshot_id``
+        — Iceberg's incremental append scan. A downstream consumer
+        (index builder, stats refresher, replication) reads only what
+        changed instead of the whole table.
+
+        Semantics, pinned by tests:
+        - ``from=None`` means "from the beginning" (equals a full read
+          as of ``to``); ``to=None`` means the latest snapshot.
+        - Committed partitions are immutable and resume-mode writes only
+          ADD partitions, so the diff of the two snapshots'
+          ``total_committed`` lists IS the appended data.
+        - An overwrite expires ALL prior snapshots and restarts ids at
+          0 (see write()), so a consumer can never silently diff across
+          one — its stored from-id either resolves inside the new
+          history or is unknown. The subset guard below additionally
+          rejects ranges whose diff is undefined (inverted from/to, or
+          any history where from's partitions aren't contained in
+          to's), the cases Iceberg's incremental read also refuses.
+        - ``apply_deletes=True`` (default) applies the equality deletes
+          in force at ``to``, so the increment never resurrects rows a
+          takedown erased; ``False`` gives the raw append stream.
+        """
+        self._finish_compaction()
+        snaps = {s["snapshot_id"]: s for s in self.snapshots()}
+        if to_snapshot_id is None:
+            if not snaps:  # nothing ever committed
+                return self._scan_partitions(
+                    spark, self._load_schema_registry(), None, set(), []
+                )
+            to_snapshot_id = max(snaps)
+        reg, target_id, to_done = self._visible(to_snapshot_id)
+        done = set(to_done)
+        if from_snapshot_id is not None:
+            if from_snapshot_id not in snaps:
+                raise ValueError(
+                    f"unknown from_snapshot_id {from_snapshot_id}; "
+                    f"have {sorted(snaps)}"
+                )
+            from_done = set(snaps[from_snapshot_id]["total_committed"])
+            if not from_done <= done:
+                raise ValueError(
+                    f"snapshots {from_snapshot_id}..{to_snapshot_id} span an "
+                    "overwrite; incremental scan is undefined across it"
+                )
+            done -= from_done
+        deletes = self._visible_deletes(to_snapshot_id) if apply_deletes else []
+        return self._scan_partitions(spark, reg, target_id, done, deletes)
 
     def _visible(self, snapshot_id: int | None) -> tuple[dict | None, int | None, set]:
         """(schema registry, target schema id, visible partitions) for a
