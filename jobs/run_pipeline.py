@@ -3,6 +3,7 @@
     spark-submit --py-files neuscraper_spark.zip jobs/run_pipeline.py \
         --input /path/web_pages_parquet --output /path/curated_table \
         [--partitions 2048] [--mode resume|overwrite] [--fused]
+        [--streaming] [--bpe-merges N] [--sample R] [--mix en=0.6,de=0.4]
 
 Packaging: `python jobs/package.py` zips the library for --py-files.
 On a cluster the same script runs unchanged at N or 4N executors: the
@@ -66,9 +67,10 @@ def main() -> None:
         help="mixture budget for --mix, in units of --mix-by",
     )
     ap.add_argument(
-        "--mix-by", choices=["words", "docs"], default="words",
-        help="budget unit for --mix-total: n_words sum (default) or "
-        "document count",
+        "--mix-by", choices=["words", "docs", "bpe"], default="words",
+        help="budget unit for --mix-total: n_words sum (default), "
+        "document count, or trained-BPE token count (needs "
+        "--bpe-merges)",
     )
     ap.add_argument(
         "--sample-salt", default="curate",
@@ -87,6 +89,22 @@ def main() -> None:
         "corpus metrics (per-rule counts, keep rate, language mix) to "
         "<output>/_metrics.json",
     )
+    ap.add_argument(
+        "--streaming", action="store_true",
+        help="treat --input as a parquet drop directory and run the "
+        "same curation chain as a Structured Streaming job into the "
+        "exactly-once table sink (availableNow drain: processes the "
+        "current backlog and stops; re-running resumes from the "
+        "checkpoint at <output>/_stream_ckpt). Corpus-global options "
+        "(dedup/near-dup/sample/mix/compact) are batch-only",
+    )
+    ap.add_argument(
+        "--bpe-merges", type=int, default=None, metavar="N",
+        help="train an N-merge BPE tokenizer on the curated text (one "
+        "word-count shuffle + driver-side merges), annotate each row "
+        "with n_bpe_tokens, and save the tokenizer to <output>/_bpe.json"
+        " — enables --mix-by bpe token budgets",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -98,11 +116,51 @@ def main() -> None:
     from neuscraper_spark.sources.writer import TableWriter, url_host
 
     spark = get_spark("neuscraper_pipeline")
+
+    thr = args.threshold if args.threshold is not None else C.PRIMARY_THRESHOLD
+
+    if args.streaming:
+        # stateless chain -> exactly-once table sink; global operators
+        # need the whole corpus and stay batch-only
+        blocked = [
+            n for n, v in (
+                ("--dedup-urls", args.dedup_urls),
+                ("--repetition-filter", args.repetition_filter),
+                ("--near-dup", args.near_dup is not None),
+                ("--sample", args.sample is not None),
+                ("--mix", bool(args.mix)),
+                ("--compact", args.compact),
+                ("--bpe-merges", args.bpe_merges is not None),
+            ) if v
+        ]
+        if blocked:
+            ap.error(f"{', '.join(blocked)} are batch-only (corpus-global)")
+        from neuscraper_spark.operators.expectations import CURATED_RULES
+        from neuscraper_spark.streaming.curate import (
+            curated_stream,
+            read_page_stream,
+        )
+        from neuscraper_spark.streaming.table_sink import stream_to_table
+
+        stream = curated_stream(
+            spark, read_page_stream(spark, args.input), threshold=thr
+        )
+        q = stream_to_table(
+            stream,
+            args.output,
+            os.path.join(args.output, "_stream_ckpt"),
+            expectations=CURATED_RULES if args.expect else None,
+        )
+        q.awaitTermination()
+        writer = TableWriter(args.output, partition_col="_batch")
+        print(f"stream drained: {len(writer.snapshots())} snapshots, "
+              f"{writer.read(spark).count()} rows committed")
+        spark.stop()
+        return
+
     web_pages = spark.read.parquet(args.input)
     if args.partitions:
         web_pages = web_pages.repartition(args.partitions)
-
-    thr = args.threshold if args.threshold is not None else C.PRIMARY_THRESHOLD
     if args.fused:
         # ONE python stage (parse+score+assemble+langid+ppl fused) +
         # native tail — byte-identical to the staged plan (tested)
@@ -120,6 +178,19 @@ def main() -> None:
         )
     if args.mix and not args.mix_total:
         ap.error("--mix requires --mix-total")
+    if args.mix_by == "bpe" and args.bpe_merges is None:
+        ap.error("--mix-by bpe requires --bpe-merges")
+    if args.bpe_merges is not None:
+        import json as _json
+
+        from neuscraper_spark.bpe import encode_col, train_bpe_on
+
+        tok = train_bpe_on(curated, text_col="text", n_merges=args.bpe_merges)
+        # budgets need the count, not the ids — keep the table narrow
+        curated = encode_col(curated, tok, text_col="text").drop("bpe_ids")
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "_bpe.json"), "w") as f:
+            _json.dump(tok.to_dict(), f)
     if args.sample is not None:
         from neuscraper_spark.operators.sampling import deterministic_sample
 
@@ -140,7 +211,9 @@ def main() -> None:
             stratum_col="lang_pred",
             key_col="url",
             salt=args.sample_salt,
-            weight_col="n_words" if args.mix_by == "words" else None,
+            weight_col={"words": "n_words", "bpe": "n_bpe_tokens"}.get(
+                args.mix_by
+            ),
         )
     # partition the output by url-host bucket: stable, bounded
     # cardinality, and co-locates per-site reads downstream
