@@ -445,7 +445,25 @@ class TableWriter:
         self._finish_compaction()  # a crashed compact() must not hide rows
         reg, target_id, done = self._visible(snapshot_id)
         deletes = self._visible_deletes(snapshot_id)
-        return self._scan_partitions(spark, reg, target_id, done, deletes)
+        # (_file,_pos) are position-delete plumbing, not table columns
+        return self._scan_partitions(
+            spark, reg, target_id, done, deletes
+        ).drop("_file", "_pos")
+
+    def _with_positions(self, scan: DataFrame) -> DataFrame:
+        """Surface the hidden _metadata columns as (_file, _pos): the
+        file path RELATIVE to data_dir (stable under table moves) and
+        the row's index in it — the address a position delete pins.
+        Must run on the raw file scan (metadata columns don't survive a
+        projection)."""
+        prefix = "file:" + os.path.abspath(self.data_dir) + "/"
+        return scan.select(
+            "*",
+            F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})").alias(
+                "_file"
+            ),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
 
     def _scan_partitions(
         self,
@@ -454,23 +472,43 @@ class TableWriter:
         target_id: int | None,
         done: set,
         deletes: list[dict],
+        with_meta: bool | None = None,
     ) -> DataFrame:
         """Schema-aware scan of an explicit committed-partition set —
-        the shared tail of read() and read_incremental()."""
+        the shared tail of read() and read_incremental(). ``with_meta``
+        surfaces (_file, _pos) address columns; defaults to whatever the
+        delete list needs (position deletes anti-join on them). The
+        caller drops them when they were only plumbing."""
+        if with_meta is None:
+            with_meta = any(
+                d.get("kind", "equality") == "position" for d in deletes
+            )
         saved = self.schema_as_of(target_id) if reg is not None else None
+        meta_ddl = ", _file string, _pos long" if with_meta else ""
         if not done:
             if saved is not None:
-                return spark.createDataFrame([], schema=saved)
-            return spark.createDataFrame([], schema=f"{self.partition_col} string")
+                base = spark.createDataFrame([], schema=saved)
+                if with_meta:
+                    base = base.select(
+                        "*",
+                        F.lit(None).cast("string").alias("_file"),
+                        F.lit(None).cast("long").alias("_pos"),
+                    )
+                return base
+            return spark.createDataFrame(
+                [], schema=f"{self.partition_col} string{meta_ddl}"
+            )
         if saved is None:
             # no schema log (foreign table): single inferred scan
+            scan = spark.read.parquet(self.data_dir)
+            if with_meta:
+                scan = self._with_positions(scan)
             return self._apply_deletes(
-                spark,
-                spark.read.parquet(self.data_dir).filter(self._pstr().isin(*done)),
-                deletes,
+                spark, scan.filter(self._pstr().isin(*done)), deletes
             )
 
         default_of = self._defaults()
+        extra = ("_file", "_pos") if with_meta else ()
         parts = []
         for sid, ps in sorted(self._group_by_schema(done).items()):
             # clamp: under time-travel a column added after target_id
@@ -479,15 +517,16 @@ class TableWriter:
             # explicit per-generation schema: no footer inference (the
             # dir mixes generations), and the partition column keeps
             # its written type instead of hive-dir re-inference
-            scan = (
-                spark.read.schema(gschema)
-                .parquet(self.data_dir)
-                .filter(self._pstr().isin(*ps))
+            scan = spark.read.schema(gschema).parquet(self.data_dir)
+            if with_meta:
+                scan = self._with_positions(scan)
+            scan = scan.filter(self._pstr().isin(*ps))
+            parts.append(
+                self._project_to(scan, gschema, saved, default_of, extra)
             )
-            parts.append(self._project_to(scan, gschema, saved, default_of))
         df = parts[0]
-        for extra in parts[1:]:
-            df = df.unionByName(extra)
+        for extra_df in parts[1:]:
+            df = df.unionByName(extra_df)
         return self._apply_deletes(spark, df, deletes)
 
     def read_incremental(
@@ -544,7 +583,9 @@ class TableWriter:
                 )
             done -= from_done
         deletes = self._visible_deletes(to_snapshot_id) if apply_deletes else []
-        return self._scan_partitions(spark, reg, target_id, done, deletes)
+        return self._scan_partitions(
+            spark, reg, target_id, done, deletes
+        ).drop("_file", "_pos")
 
     def _visible(self, snapshot_id: int | None) -> tuple[dict | None, int | None, set]:
         """(schema registry, target schema id, visible partitions) for a
@@ -592,14 +633,17 @@ class TableWriter:
 
     @staticmethod
     def _project_to(scan: DataFrame, gschema: StructType, saved: StructType,
-                    default_of: dict) -> DataFrame:
+                    default_of: dict, extra: tuple = ()) -> DataFrame:
         have = {f.name for f in gschema.fields}
-        return scan.select(*[
-            F.col(f.name).cast(f.dataType).alias(f.name)
-            if f.name in have
-            else F.lit(default_of.get(f.name)).cast(f.dataType).alias(f.name)
-            for f in saved.fields
-        ])
+        return scan.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(default_of.get(f.name)).cast(f.dataType).alias(f.name)
+                for f in saved.fields
+            ],
+            *[F.col(c) for c in extra],
+        )
 
     # ------------------------------------------------------- file skipping
 
@@ -747,6 +791,50 @@ class TableWriter:
         """
         self._finish_compaction()
         self._clean_orphan_deletes()
+        keys = self.read(spark).filter(predicate).select(key_col).distinct()
+        return self._commit_delete(
+            keys, {"kind": "equality", "key_col": key_col, "predicate": predicate}
+        )
+
+    def delete_positions(self, spark: SparkSession, predicate: str) -> dict:
+        """Row-level delete by POSITION — Iceberg v2's second delete
+        flavor: the matching rows' exact addresses (data file relative
+        to data_dir + row index in it, via Spark's hidden ``_metadata``
+        columns) are written as a delete file that every read
+        anti-joins away on (_file, _pos).
+
+        Equality vs position is a real trade, not redundancy: an
+        equality delete needs a key column and suppresses the key
+        FOREVER (takedown semantics — re-ingested rows stay hidden);
+        a position delete pins exactly the rows that matched NOW —
+        later appends of identical content are unaffected (fix a bad
+        batch without embargoing its keys). Because positions name
+        exact files, ``compact`` refuses to rewrite files while any
+        position delete is pending unless it materializes them
+        (``apply_deletes=True``) — a rewrite would silently orphan the
+        addresses and resurrect the rows.
+
+        ``_file``/``_pos`` are reserved plumbing names; user tables
+        must not carry columns with those names. Crash-safety protocol
+        is shared with delete_where (_commit_delete)."""
+        self._finish_compaction()
+        self._clean_orphan_deletes()
+        reg, target_id, done = self._visible(None)
+        deletes = self._visible_deletes(None)
+        view = self._scan_partitions(
+            spark, reg, target_id, done, deletes, with_meta=True
+        )
+        addrs = view.filter(predicate).select("_file", "_pos").distinct()
+        return self._commit_delete(
+            addrs, {"kind": "position", "predicate": predicate}
+        )
+
+    def _commit_delete(self, frame: DataFrame, fields: dict) -> dict:
+        """Shared delete commit: frame -> ``_deletes/del-<n>.tmp``
+        (Spark write), dir renames into place, and only then the .json
+        marker commits (tmp+fsync+rename) — a crash at any point leaves
+        an invisible orphan dir that the next entry cleans. Appends a
+        snapshot so time-travel scopes the delete."""
         os.makedirs(self.deletes_dir, exist_ok=True)
         existing = self.committed_deletes()
         ordinal = (existing[-1]["ordinal"] + 1) if existing else 0
@@ -754,8 +842,7 @@ class TableWriter:
         ddir = os.path.join(self.deletes_dir, name)
         tmp = ddir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        keys = self.read(spark).filter(predicate).select(key_col).distinct()
-        keys.write.mode("overwrite").parquet(tmp)
+        frame.write.mode("overwrite").parquet(tmp)
         os.replace(tmp, ddir)
         import pyarrow.parquet as pq
 
@@ -767,8 +854,7 @@ class TableWriter:
         marker = {
             "name": name,
             "ordinal": ordinal,
-            "key_col": key_col,
-            "predicate": predicate,
+            **fields,
             "n_keys": n_keys,
             "created_at": time.time(),
         }
@@ -822,22 +908,34 @@ class TableWriter:
 
     def _apply_deletes(self, spark: SparkSession, df: DataFrame,
                        deletes: list[dict]) -> DataFrame:
-        """Anti-join the delete keys away, one join per distinct key
-        column (normally one). The key sets are small relative to the
-        table by nature (erasure requests), so AQE broadcasts them; the
-        join is the whole merge-on-read cost."""
+        """Anti-join the delete files away: one join per distinct
+        equality key column (normally one) plus one (_file,_pos) join
+        for all position deletes. The delete sets are small relative to
+        the table by nature (erasure requests), so AQE broadcasts them;
+        the joins are the whole merge-on-read cost."""
         if not deletes or not df.columns:
             return df
         by_col: dict[str, list[str]] = {}
+        pos_dirs: list[str] = []
         for d in deletes:
-            by_col.setdefault(d["key_col"], []).append(
-                os.path.join(self.deletes_dir, d["name"])
-            )
+            path = os.path.join(self.deletes_dir, d["name"])
+            if d.get("kind", "equality") == "position":
+                pos_dirs.append(path)
+            else:
+                by_col.setdefault(d["key_col"], []).append(path)
         for col, dirs in sorted(by_col.items()):
             if col not in df.columns:
                 continue
             keys = spark.read.parquet(*dirs).select(col).distinct()
             df = df.join(keys, on=col, how="left_anti")
+        if pos_dirs:
+            if "_file" not in df.columns or "_pos" not in df.columns:
+                raise RuntimeError(
+                    "internal: position deletes require the scan to carry "
+                    "(_file,_pos) — _scan_partitions(with_meta=True)"
+                )
+            addrs = spark.read.parquet(*pos_dirs).select("_file", "_pos").distinct()
+            df = df.join(addrs, on=["_file", "_pos"], how="left_anti")
         return df
 
     # ------------------------------------------------------------- compact
@@ -916,7 +1014,17 @@ class TableWriter:
 
         self._finish_compaction()
         self._clean_orphan_deletes()
-        deletes = self.committed_deletes() if apply_deletes else []
+        committed_dels = self.committed_deletes()
+        has_pos = any(
+            d.get("kind", "equality") == "position" for d in committed_dels
+        )
+        if has_pos and not apply_deletes:
+            raise ValueError(
+                "pending position deletes pin exact (file, row) addresses; "
+                "rewriting files would orphan them and resurrect the rows — "
+                "run compact(apply_deletes=True) to materialize them"
+            )
+        deletes = committed_dels if apply_deletes else []
         rewritten: dict[str, dict] = {}
         for p, pdir in sorted(self._data_partitions().items()):
             if p not in self.committed_partitions():
@@ -930,7 +1038,12 @@ class TableWriter:
             # rows only — the partition column lives in the dir name
             scan = spark.read.parquet(pdir)
             if deletes:
+                if has_pos:
+                    # per-partition scan still lives under data_dir, so
+                    # the same relative (_file,_pos) addresses resolve
+                    scan = self._with_positions(scan)
                 scan = self._apply_deletes(spark, scan, deletes)
+                scan = scan.drop("_file", "_pos")
             scan.coalesce(1).write.mode("overwrite").parquet(tmp)
             new_files, n_rows = [], 0
             for fn in sorted(os.listdir(tmp)):
