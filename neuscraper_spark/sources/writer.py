@@ -278,6 +278,7 @@ class TableWriter:
         Returns the snapshot dict (written to _snapshots too).
         """
         self._finish_compaction()  # roll forward an interrupted compact()
+        self._finish_merge()  # roll forward a crashed merge_into
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.snapshot_dir, exist_ok=True)
         pcol = self.partition_col
@@ -443,6 +444,7 @@ class TableWriter:
         partition column's original type) even when no partition is
         committed yet."""
         self._finish_compaction()  # a crashed compact() must not hide rows
+        self._finish_merge()  # roll forward a crashed merge_into
         reg, target_id, done = self._visible(snapshot_id)
         deletes = self._visible_deletes(snapshot_id)
         # (_file,_pos) are position-delete plumbing, not table columns
@@ -560,6 +562,7 @@ class TableWriter:
           takedown erased; ``False`` gives the raw append stream.
         """
         self._finish_compaction()
+        self._finish_merge()  # roll forward a crashed merge_into
         snaps = {s["snapshot_id"]: s for s in self.snapshots()}
         if to_snapshot_id is None:
             if not snaps:  # nothing ever committed
@@ -790,6 +793,7 @@ class TableWriter:
         leaves an invisible orphan dir that the next entry cleans.
         """
         self._finish_compaction()
+        self._finish_merge()  # roll forward a crashed merge_into
         self._clean_orphan_deletes()
         keys = self.read(spark).filter(predicate).select(key_col).distinct()
         return self._commit_delete(
@@ -818,6 +822,7 @@ class TableWriter:
         must not carry columns with those names. Crash-safety protocol
         is shared with delete_where (_commit_delete)."""
         self._finish_compaction()
+        self._finish_merge()  # roll forward a crashed merge_into
         self._clean_orphan_deletes()
         reg, target_id, done = self._visible(None)
         deletes = self._visible_deletes(None)
@@ -1013,6 +1018,7 @@ class TableWriter:
         import pyarrow.parquet as pq
 
         self._finish_compaction()
+        self._finish_merge()  # roll forward a crashed merge_into
         self._clean_orphan_deletes()
         committed_dels = self.committed_deletes()
         has_pos = any(
@@ -1123,6 +1129,198 @@ class TableWriter:
             ) as f:
                 json.dump(snapshot, f)
         return snapshot
+
+    # --------------------------------------------------------------- merge
+
+    @property
+    def _merge_marker(self) -> str:
+        return os.path.join(self.root, "_merging.json")
+
+    def _finish_merge(self) -> bool:
+        """Roll FORWARD an interrupted merge_into: the marker is written
+        only after every staged ``.merge_tmp`` dir is fully on disk, so
+        finishing (swap + manifest + snapshot reset) is always safe and
+        idempotent. Returns True if recovery work was done."""
+        if not os.path.exists(self._merge_marker):
+            return False
+        with open(self._merge_marker) as f:
+            marker = json.load(f)
+        for swap in marker["swaps"]:
+            pdir = swap["pdir"]
+            tmp, old = pdir + ".merge_tmp", pdir + ".merge_old"
+            if os.path.isdir(tmp):
+                if os.path.isdir(pdir) and not os.path.isdir(old):
+                    os.rename(pdir, old)
+                if not os.path.isdir(pdir):
+                    os.rename(tmp, pdir)
+            mpath = self._manifest_path(swap["partition"])
+            with open(mpath + ".tmp", "w") as f:
+                json.dump(swap["manifest"], f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(mpath + ".tmp", mpath)
+            shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+        # merge rewrote committed contents: prior snapshots no longer
+        # name the same bytes — expire them (the overwrite rule) and
+        # leave the merge snapshot as the new history root
+        if os.path.isdir(self.snapshot_dir):
+            for name in list(os.listdir(self.snapshot_dir)):
+                os.unlink(os.path.join(self.snapshot_dir, name))
+        snapshot = dict(marker["snapshot"])
+        snapshot["snapshot_id"] = 0
+        os.makedirs(self.snapshot_dir, exist_ok=True)
+        with open(os.path.join(self.snapshot_dir, "snap-0.json"), "w") as f:
+            json.dump(snapshot, f)
+        os.unlink(self._merge_marker)
+        return True
+
+    def merge_into(self, spark: SparkSession, source: DataFrame,
+                   key_col: str = "url") -> dict:
+        """MERGE INTO (copy-on-write upsert): rows in ``source`` whose
+        ``key_col`` matches an existing row REPLACE it (even across a
+        partition-value change); unmatched rows append. The Iceberg /
+        Delta ``MERGE`` verb, restricted to the upsert shape a curation
+        table needs (re-crawl refreshes page content in place).
+
+        Mechanics, built on the partition-immutability model:
+        - new partition values commit through the normal resume write
+          FIRST (idempotent if the merge is retried after a crash);
+        - every committed partition that holds a matching key or gains
+          source rows is staged in full to ``<pdir>.merge_tmp`` as
+          (current visible rows anti-join source keys) ∪ (source rows
+          of that partition), with equality deletes applied and all
+          generations projected to the CURRENT schema;
+        - a single ``_merging.json`` write-ahead marker (the commit
+          point — carries every swap's manifest and the final snapshot)
+          then swaps all staged partitions; a crash at any point before
+          the marker changes nothing, after it rolls forward.
+
+        Because committed bytes change, prior snapshots are EXPIRED and
+        the merge snapshot becomes the new history root — the same rule
+        as overwrite (documented divergence from Iceberg, whose catalog
+        pins per-snapshot file lists). Source cardinality is checked:
+        duplicate keys in ``source`` raise (Iceberg's MERGE cardinality
+        rule); NULL keys never match and simply append. Pending
+        position deletes must be materialized first (their addresses
+        would be orphaned by the rewrite); equality deletes stay in
+        force globally — merging a key that was taken down leaves it
+        hidden, by design."""
+        self._finish_compaction()
+        self._finish_merge()
+        self._clean_orphan_deletes()
+        if any(d.get("kind", "equality") == "position"
+               for d in self.committed_deletes()):
+            raise ValueError(
+                "pending position deletes pin exact (file, row) addresses; "
+                "merge would rewrite the files — run "
+                "compact(apply_deletes=True) first"
+            )
+        saved = self.schema_as_of(None)
+        if saved is not None:
+            have = set(source.columns)
+            want = {f.name for f in saved.fields}
+            if have != want:
+                raise ValueError(
+                    f"merge source columns {sorted(have)} != table "
+                    f"columns {sorted(want)}; evolve the schema with "
+                    "write(evolve=True) before merging"
+                )
+            source = source.select(
+                *[F.col(f.name).cast(f.dataType) for f in saved.fields]
+            )
+        dup = (
+            source.filter(F.col(key_col).isNotNull())
+            .groupBy(key_col).count().filter("count > 1").limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge source has duplicate {key_col}={dup[0][0]!r} — "
+                "MERGE cardinality requires one source row per key"
+            )
+        source = source.localCheckpoint(eager=True)  # one upstream execution
+        pcol = self.partition_col
+        src_pstr = F.coalesce(F.col(pcol).cast("string"), F.lit(NULL_PARTITION))
+
+        done = self.committed_partitions()
+        src_parts = {
+            r[0] for r in source.select(src_pstr.alias("p")).distinct().collect()
+        }
+        new_parts = src_parts - done
+        if new_parts:
+            # commits its own snapshot; expired below with the rest
+            self.write(
+                source.filter(src_pstr.isin(*new_parts)), mode="resume"
+            )
+            done = self.committed_partitions()
+
+        cur = self.read(spark)
+        src_keys = source.select(key_col).where(F.col(key_col).isNotNull()).distinct()
+        affected = {
+            r[0]
+            for r in cur.join(src_keys, key_col, "left_semi")
+            .select(self._pstr().alias("p")).distinct().collect()
+        }
+        rewrite = sorted((affected | (src_parts & done)) - new_parts)
+
+        import pyarrow.parquet as pq
+
+        swaps = []
+        n_matched = 0
+        old_metrics = self.partition_metrics()
+        for p in rewrite:
+            pdir = self._data_partitions()[p]
+            tmp = pdir + ".merge_tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            keep = (
+                cur.filter(self._pstr() == p)
+                .join(src_keys, key_col, "left_anti")
+            )
+            incoming = source.filter(src_pstr == p)
+            merged = keep.unionByName(incoming.select(*keep.columns)).drop(pcol)
+            merged.write.mode("overwrite").parquet(tmp)
+            new_files, n_rows = [], 0
+            for fn in sorted(os.listdir(tmp)):
+                if fn.endswith(".parquet"):
+                    meta = pq.ParquetFile(os.path.join(tmp, fn)).metadata
+                    n_rows += meta.num_rows
+                    new_files.append({"file": fn, "rows": meta.num_rows,
+                                      "stats": _file_column_stats(meta)})
+            old_manifest = old_metrics[p]
+            payload = dict(old_manifest)
+            payload["metrics"] = {"n_rows": n_rows}
+            payload["lineage"] = dict(old_manifest["lineage"])
+            payload["lineage"]["files"] = new_files
+            payload["lineage"]["merged_at"] = time.time()
+            reg = self._load_schema_registry()
+            if reg is not None:
+                payload["lineage"]["schema_id"] = reg["current_id"]
+            n_matched += old_manifest["metrics"]["n_rows"] - (
+                n_rows - incoming.count()
+            )
+            swaps.append({"pdir": pdir, "partition": p, "manifest": payload})
+
+        snapshot = {
+            "merge": {
+                "key_col": key_col,
+                "partitions_rewritten": rewrite,
+                "partitions_added": sorted(new_parts),
+                "rows_matched": n_matched,
+            },
+            "total_committed": sorted(self.committed_partitions()),
+            "rows_written": 0,
+            "deletes": [d["name"] for d in self.committed_deletes()],
+        }
+        reg = self._load_schema_registry()
+        if reg is not None:
+            snapshot["schema_id"] = reg["current_id"]
+        with open(self._merge_marker + ".tmp", "w") as f:
+            json.dump({"swaps": swaps, "snapshot": snapshot}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(self._merge_marker + ".tmp", self._merge_marker)
+        self._finish_merge()
+        return self.snapshots()[-1]
 
 
 def salted_repartition(
