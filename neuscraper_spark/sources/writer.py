@@ -87,6 +87,33 @@ def _file_column_stats(fmeta) -> dict:
     return {k: v for k, v in out.items() if v is not None}
 
 
+def _ranges_from_stats(manifest: dict, cols: list[str]) -> dict | None:
+    """{col: (min, max)} for a Z-order rewrite, derived from the
+    partition manifest's per-file footer stats — the same numbers a
+    fresh stats scan would produce, for free. Returns None (caller
+    falls back to scanning) when any file lacks numeric stats for any
+    requested column."""
+    per: dict[str, list] = {c: [] for c in cols}
+    for frec in manifest.get("lineage", {}).get("files", []):
+        st = frec.get("stats") or {}
+        for c in cols:
+            s = st.get(c)
+            if (
+                s is None
+                or not isinstance(s.get("min"), (int, float))
+                or isinstance(s.get("min"), bool)
+                or not isinstance(s.get("max"), (int, float))
+            ):
+                return None
+            per[c].append((s["min"], s["max"]))
+    if not all(per[c] for c in cols):
+        return None
+    return {
+        c: (min(lo for lo, _ in v), max(hi for _, hi in v))
+        for c, v in per.items()
+    }
+
+
 @dataclass
 class TableWriter:
     root: str
@@ -983,7 +1010,9 @@ class TableWriter:
         return True
 
     def compact(self, spark: SparkSession, min_files: int = 2,
-                apply_deletes: bool = False) -> dict:
+                apply_deletes: bool = False,
+                layout_cols: list[str] | None = None,
+                target_files: int = 1) -> dict:
         """Merge each committed partition's many small parquet files
         into one — the Iceberg ``rewrite_data_files`` maintenance op.
         A 100 TB table written by wide jobs accumulates
@@ -1014,7 +1043,15 @@ class TableWriter:
         how overwrite expires snapshots). A crash mid-run is safe: the
         per-partition swap rolls forward, and delete files are removed
         only after every partition is clean, so reads keep anti-joining
-        until then."""
+        until then.
+
+        ``layout_cols`` + ``target_files`` turn the rewrite into Delta's
+        OPTIMIZE ZORDER / Iceberg's sort-order rewrite: each partition's
+        rows are re-clustered into ``target_files`` Z-curve range slices
+        over those columns (sources/layout.py), so prune_files afterward
+        skips on EVERY listed column. Column min/max for the curve come
+        from the existing manifest file stats when usable — the layout
+        rewrite then needs no extra stats scan."""
         import pyarrow.parquet as pq
 
         self._finish_compaction()
@@ -1036,7 +1073,7 @@ class TableWriter:
             if p not in self.committed_partitions():
                 continue  # orphan of a crashed write; resume owns it
             files = [fn for fn in os.listdir(pdir) if fn.endswith(".parquet")]
-            if len(files) < min_files and not deletes:
+            if len(files) < min_files and not deletes and not layout_cols:
                 continue
             old_manifest = self.partition_metrics()[p]
             tmp = pdir + ".compact_tmp"
@@ -1050,7 +1087,16 @@ class TableWriter:
                     scan = self._with_positions(scan)
                 scan = self._apply_deletes(spark, scan, deletes)
                 scan = scan.drop("_file", "_pos")
-            scan.coalesce(1).write.mode("overwrite").parquet(tmp)
+            if layout_cols:
+                from .layout import zorder
+
+                out = zorder(
+                    scan, layout_cols, n_files=target_files,
+                    stats=_ranges_from_stats(old_manifest, layout_cols),
+                )
+            else:
+                out = scan.coalesce(1)
+            out.write.mode("overwrite").parquet(tmp)
             new_files, n_rows = [], 0
             for fn in sorted(os.listdir(tmp)):
                 if fn.endswith(".parquet"):
@@ -1118,6 +1164,8 @@ class TableWriter:
             "rows_written": 0,
             "deletes": [d["name"] for d in self.committed_deletes()],
         }
+        if layout_cols:
+            snapshot["layout_cols"] = list(layout_cols)
         if materialized:
             snapshot["materialized_deletes"] = materialized
         if os.path.isdir(self.snapshot_dir):

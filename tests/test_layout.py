@@ -91,6 +91,41 @@ def test_nulls_and_constant_columns(spark):
     assert out.count() == 3  # null x lands in bucket 0, nothing dropped
 
 
+def test_compact_with_zorder_layout(spark, grid, tmp_path):
+    """OPTIMIZE ZORDER as table maintenance: an unclustered table gets
+    rewritten into Z-curve slices by compact(layout_cols=...), and file
+    skipping starts working on both columns."""
+    from neuscraper_spark.sources.writer import _ranges_from_stats
+
+    w = _write(spark, tmp_path, grid.repartition(4), "cz")  # unordered
+    before = w.prune_files("y", 0, 7)["files_kept"]
+    assert before == w.prune_files("y", 0, 7)["files_total"]  # no skipping
+    snap = w.compact(spark, layout_cols=["x", "y"], target_files=16,
+                     min_files=1)
+    assert snap["layout_cols"] == ["x", "y"]
+    assert w.read(spark).count() == 4096
+    total = w.prune_files("x", None, None)["files_total"]
+    assert total > 4
+    assert w.prune_files("x", 0, 7)["files_kept"] <= total // 2
+    assert w.prune_files("y", 0, 7)["files_kept"] <= total // 2
+    # the curve's min/max came from manifest stats — no extra scan needed
+    assert _ranges_from_stats(w.partition_metrics()["p0"], ["x", "y"]) == {
+        "x": (0, 63), "y": (0, 63)
+    }
+
+
+def test_ranges_from_stats_falls_back_on_non_numeric():
+    from neuscraper_spark.sources.writer import _ranges_from_stats
+
+    manifest = {"lineage": {"files": [
+        {"stats": {"x": {"min": 0, "max": 9}, "s": {"min": "a", "max": "z"}}},
+    ]}}
+    assert _ranges_from_stats(manifest, ["x"]) == {"x": (0, 9)}
+    assert _ranges_from_stats(manifest, ["x", "s"]) is None
+    assert _ranges_from_stats(manifest, ["x", "missing"]) is None
+    assert _ranges_from_stats({"lineage": {"files": []}}, ["x"]) is None
+
+
 def test_stats_override_skips_scan(spark, grid):
     stats = column_ranges(grid, ["x", "y"])
     assert stats["x"] == (0.0, 63.0) and stats["y"] == (0.0, 63.0)
