@@ -38,6 +38,16 @@ def main() -> None:
         "files (Iceberg rewrite_data_files maintenance)",
     )
     ap.add_argument(
+        "--compact-zorder", default=None, metavar="COL,COL",
+        help="with --compact: re-cluster each partition into Z-order "
+        "range slices over these numeric columns (OPTIMIZE ZORDER) so "
+        "file skipping works on every listed column",
+    )
+    ap.add_argument(
+        "--compact-files", type=int, default=4,
+        help="target files per partition for --compact-zorder",
+    )
+    ap.add_argument(
         "--dedup-urls", action="store_true",
         help="keep one row per canonical url (scheme/www/query/slash "
         "stripped) before writing",
@@ -231,8 +241,15 @@ def main() -> None:
     print(f"committed partitions: {len(snapshot['committed_now'])}, "
           f"rows: {snapshot['rows_written']}")
     if args.compact:
-        comp = writer.compact(spark)
-        print(f"compacted partitions: {len(comp['compaction'])}")
+        zcols = args.compact_zorder.split(",") if args.compact_zorder else None
+        comp = writer.compact(
+            spark,
+            layout_cols=zcols,
+            target_files=args.compact_files if zcols else 1,
+            min_files=1 if zcols else 2,
+        )
+        print(f"compacted partitions: {len(comp['compaction'])}"
+              + (f" (z-order {zcols})" if zcols else ""))
     if args.metrics:
         # one metadata-cheap scan of the COMMITTED table (not a re-run
         # of the python chain): the corpus report a curation run files

@@ -85,3 +85,17 @@ def test_bpe_budget_annotation(spark, page_drop, tmp_path, monkeypatch):
         tok = BPETokenizer.from_dict(json.load(f))
     for r in rows[:10]:
         assert tok.n_tokens(r["text"]) == r["n_bpe_tokens"]
+
+
+def test_compact_zorder_flag(spark, page_drop, tmp_path, monkeypatch):
+    out = str(tmp_path / "tblz")
+    _run_main(
+        monkeypatch,
+        ["--input", page_drop, "--output", out, "--fused",
+         "--compact", "--compact-zorder", "ppl,n_words",
+         "--compact-files", "2"],
+    )
+    w = TableWriter(out, partition_col="host_bucket")
+    got = w.read(spark)
+    assert got.count() > 0
+    assert w.snapshots()[-1].get("layout_cols") == ["ppl", "n_words"]

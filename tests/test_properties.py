@@ -130,3 +130,74 @@ def test_ppl_batch_composition_invariant(word_lists):
     together = ppl_batch(texts)
     singles = [ppl_batch([t])[0] for t in texts]
     assert together == singles
+
+
+# ----------------------------------------------------------------- BPE
+
+_bpe_words = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_bpe_words, st.integers(0, 64))
+def test_bpe_roundtrip_property(words, n_merges):
+    """decode(encode(text)) reproduces the word sequence for any corpus
+    whose alphabet the tokenizer was trained on, at any merge count."""
+    from collections import Counter
+
+    from neuscraper_spark.bpe import BPETokenizer, train_bpe, words_of
+
+    freqs = dict(Counter(words))
+    tok = BPETokenizer(
+        train_bpe(freqs, n_merges), {c for w in freqs for c in w}
+    )
+    text = " ".join(words)
+    assert tok.decode(tok.encode(text)) == " ".join(words_of(text))
+    # token count never exceeds characters+1 per word and never hits UNK
+    from neuscraper_spark.bpe import UNK_ID
+
+    assert UNK_ID not in tok.encode(text)
+    assert tok.n_tokens(text) <= sum(len(w) + 1 for w in words_of(text))
+
+
+@settings(max_examples=40, deadline=None)
+@given(_bpe_words)
+def test_bpe_more_merges_never_more_tokens(words):
+    from collections import Counter
+
+    from neuscraper_spark.bpe import BPETokenizer, train_bpe
+
+    freqs = dict(Counter(words))
+    alphabet = {c for w in freqs for c in w}
+    text = " ".join(words)
+    counts = [
+        BPETokenizer(train_bpe(freqs, n), alphabet).n_tokens(text)
+        for n in (0, 8, 32, 128)
+    ]
+    assert counts == sorted(counts, reverse=True) or all(
+        a >= b for a, b in zip(counts, counts[1:])
+    )
+
+
+# -------------------------------------------------------------- Z-order
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(0, 255), st.integers(0, 255),
+    st.integers(1, 8),
+)
+def test_zvalue_bucket_bit_interleave_py(x, y, bits):
+    """The pure-python twin of the Catalyst z-expression: interleaving
+    then de-interleaving recovers each column's bucket."""
+    n = 1 << bits
+    bx, by = min(x, n - 1), min(y, n - 1)
+    z = 0
+    for i in range(bits):
+        z |= ((bx >> i) & 1) << (2 * i)
+        z |= ((by >> i) & 1) << (2 * i + 1)
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(bits))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(bits))
+    assert (rx, ry) == (bx, by)
+    assert 0 <= z < n * n
