@@ -1035,17 +1035,31 @@ _SHINGLE_JACCARD_SQL = """
     """
 
 
+_D5_COSINE_SQL = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95
+    """
+
 _D3_D4_SQL = (
-    "SELECT 'minhash' AS variant, * FROM ("
+    "SELECT 'minhash' AS variant, id_a, id_b, jaccard AS score FROM ("
     + _SHINGLE_JACCARD_SQL.format(thr=0.8)
-    + ") UNION ALL SELECT 'simhash' AS variant, * FROM ("
+    + ") UNION ALL SELECT 'simhash' AS variant, id_a, id_b, jaccard FROM ("
     + _SHINGLE_JACCARD_SQL.format(thr=0.95)
+    + ") UNION ALL SELECT 'embed' AS variant, id_a, id_b, score FROM ("
+    + _D5_COSINE_SQL
     + ")"
 )
 
 
-@query("d3_d4_sketches", _D3_D4_SQL)
-def d3_d4_sketches(spark, sf_dir):
+@query("d3_d4_d5_sketches", _D3_D4_SQL)
+def d3_d4_d5_sketches(spark, sf_dir):
     # D3 and D4 share one variant-tagged driver row (same-oracle-family
     # consolidation), each oracle-checked via the relational rerank tail
     # (the d5 pattern, VERDICT r2 #5): the sketch generates candidates
@@ -1062,6 +1076,7 @@ def d3_d4_sketches(spark, sf_dir):
     # The production estimate-only paths (est_jaccard, hamming-only)
     # keep their determinism/accuracy pytest gates.
     from .operators.dedup import (
+        embedding_neardup_lsh,
         exact_shingle_jaccard_pairs,
         minhash_lsh_pairs,
         simhash_near_pairs,
@@ -1070,37 +1085,119 @@ def d3_d4_sketches(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     mh = exact_shingle_jaccard_pairs(
         minhash_lsh_pairs(docs, threshold=0.2), docs, threshold=0.8
-    ).select(F.lit("minhash").alias("variant"), "id_a", "id_b", "jaccard")
+    ).select(
+        F.lit("minhash").alias("variant"), "id_a", "id_b",
+        F.col("jaccard").alias("score"),
+    )
     sh = exact_shingle_jaccard_pairs(
         simhash_near_pairs(docs, max_hamming=8), docs, threshold=0.95
-    ).select(F.lit("simhash").alias("variant"), "id_a", "id_b", "jaccard")
-    return mh.unionByName(sh)
+    ).select(
+        F.lit("simhash").alias("variant"), "id_a", "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    # D5 — hyperplane-LSH buckets generate candidates by equi-join, the
+    # exact cosine verifies each; the oracle stays the exact quadratic
+    # SQL (24 LSH tables put the miss probability per true pair ~1e-9)
+    em = embedding_neardup_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.95
+    ).select(
+        F.lit("embed").alias("variant"), "id_a", "id_b",
+        F.col("cosine").alias("score"),
+    )
+    return mh.unionByName(sh).unionByName(em)
 
 
-@query(
-    "d5_embedding_neardup",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95
-    """,
+# window width for the driver check is 8 (Lee et al. use 50-token
+# windows at production scale; the operator takes w as a parameter)
+_SUBSTR_BOILER = (
+    "subscribe to our newsletter for daily updates and exclusive offers today"
 )
-def d5_embedding_neardup(spark, sf_dir):
-    # The registered plan is the SCALE path: hyperplane-LSH buckets
-    # generate candidates by equi-join (no BroadcastNestedLoopJoin), the
-    # exact cosine verifies each candidate. The oracle stays the exact
-    # quadratic SQL: 24 LSH tables put the miss probability per true pair
-    # at ~1e-9, and tests/test_dedup.py pins LSH == exact-quadratic
-    # output (embedding_neardup_pairs remains as that verifier).
-    from .operators.dedup import embedding_neardup_lsh
 
-    return embedding_neardup_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.95)
+_SUBSTR_SQL = f"""
+    WITH base AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0 THEN ' {_SUBSTR_BOILER}' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' ' || array_to_string(
+                            list_slice(string_split(text, ' '), 1, 8), ' ')
+                     ELSE '' END AS rtext
+      FROM documents WHERE text IS NOT NULL
+    ),
+    w0 AS (
+      SELECT doc_id, generate_subscripts(ls, 1) AS p0, unnest(ls) AS w
+      FROM (SELECT doc_id, string_split(rtext, ' ') AS ls FROM base)
+    ),
+    words AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY p0) AS pos, w
+      FROM w0 WHERE w <> ''
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+               || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+               || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+               || ' ' || lead(w, 7) OVER win AS g
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    gvalid AS (SELECT doc_id, pos, g FROM grams WHERE g IS NOT NULL),
+    dup AS (SELECT g FROM gvalid GROUP BY g HAVING count(*) >= 2),
+    flagged AS (SELECT doc_id, pos FROM gvalid JOIN dup USING (g)),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + i AS p
+      FROM flagged, UNNEST(generate_series(0, 7)) AS t(i)
+    ),
+    kept AS (
+      SELECT w.doc_id, w.pos, w.w FROM words w
+      LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.p = w.pos
+      WHERE c.p IS NULL
+    ),
+    wstat AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
+    fstat AS (SELECT doc_id, count(*) AS n FROM flagged GROUP BY 1),
+    rstat AS (SELECT doc_id, count(*) AS n FROM covered GROUP BY 1),
+    cstat AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS t
+              FROM kept GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(coalesce(ws.n, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(f.n, 0) AS BIGINT) AS n_dup_windows,
+           CAST(coalesce(r.n, 0) AS BIGINT) AS n_removed,
+           coalesce(c.t, '') AS clean_text
+    FROM base b
+    LEFT JOIN wstat ws USING (doc_id) LEFT JOIN fstat f USING (doc_id)
+    LEFT JOIN rstat r USING (doc_id) LEFT JOIN cstat c USING (doc_id)
+    """
+
+
+@query("q_substring_dedup", _SUBSTR_SQL)
+def q_substring_dedup(spark, sf_dir):
+    """Substring-level dedup (Lee et al. 2022 ExactSubstr, distributed):
+    every 8-word window occurring >= 2 times corpus-wide is excised —
+    within-doc repeats included — and the survivors reassemble in
+    order. The vocab-soup corpus has ~nil natural 8-gram overlap (the
+    q_decontaminate finding), so duplicated passages are injected
+    deterministically on BOTH engines: doc_id%3 gains a shared
+    boilerplate sentence (cross-doc duplication — the license-block /
+    nav-blurb case) and doc_id%7 re-appends its own first 8 words
+    (within-doc duplication). Spark fingerprints windows with xxhash64
+    (constant 8-byte shuffle key — the 100 TB shape); the oracle joins
+    on exact gram text — results match absent 64-bit collisions (the
+    q_repetition hash_grams contract)."""
+    from .operators.substring_dedup import remove_duplicate_windows
+
+    d = F.col("doc_id")
+    first8 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    rtext = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit(" " + _SUBSTR_BOILER)).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit(" "), first8)).otherwise(F.lit("")),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", rtext.alias("text"))
+    )
+    return remove_duplicate_windows(docs, w=8)
 
 
 # ---------------------------------------------------------------------------

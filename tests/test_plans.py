@@ -63,9 +63,10 @@ def test_quality_chain_single_python_stage(spark, wp_parquet):
 
 
 def test_dedup_plans_no_nested_loop_join(spark):
-    # d5 registers the LSH path and d2 is gram-equi-join: neither may
-    # fall back to a quadratic BroadcastNestedLoopJoin (r1 fix).
-    for q in ("d5_embedding_neardup", "d2_ngram_jaccard"):
+    # the sketch row registers the LSH paths (incl. d5's) and d2 is
+    # gram-equi-join: neither may fall back to a quadratic
+    # BroadcastNestedLoopJoin (r1 fix).
+    for q in ("d3_d4_d5_sketches", "d2_ngram_jaccard"):
         plan = plan_of(all_queries()[q](spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, q
         assert "CartesianProduct" not in plan, q
