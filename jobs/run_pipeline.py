@@ -62,6 +62,12 @@ def main() -> None:
         "threshold (keeps one representative per cluster)",
     )
     ap.add_argument(
+        "--substring-dedup", type=int, default=None, metavar="W",
+        help="excise every W-token span occurring >= 2 times corpus-wide "
+        "from surviving rows' text (Lee et al. 2022 ExactSubstr; 50 is "
+        "the published setting)",
+    )
+    ap.add_argument(
         "--sample", type=float, default=None, metavar="RATE",
         help="keep a deterministic md5(url)-keyed fraction of curated "
         "rows (reproducible across runs and cluster sizes; samples "
@@ -137,6 +143,7 @@ def main() -> None:
                 ("--dedup-urls", args.dedup_urls),
                 ("--repetition-filter", args.repetition_filter),
                 ("--near-dup", args.near_dup is not None),
+                ("--substring-dedup", args.substring_dedup is not None),
                 ("--sample", args.sample is not None),
                 ("--mix", bool(args.mix)),
                 ("--compact", args.compact),
@@ -177,7 +184,8 @@ def main() -> None:
         curated = extract_curate_fused(spark, web_pages, threshold=thr)
     else:
         curated = quality_chain(spark, extract_pipeline(spark, web_pages, threshold=thr))
-    if args.dedup_urls or args.repetition_filter or args.near_dup is not None:
+    if (args.dedup_urls or args.repetition_filter or args.near_dup is not None
+            or args.substring_dedup is not None):
         from neuscraper_spark.operators.curation import apply_corpus_filters
 
         curated = apply_corpus_filters(
@@ -185,6 +193,7 @@ def main() -> None:
             dedup_urls=args.dedup_urls,
             repetition=args.repetition_filter,
             near_dup_threshold=args.near_dup,
+            substring_w=args.substring_dedup,
         )
     if args.mix and not args.mix_total:
         ap.error("--mix requires --mix-total")

@@ -120,6 +120,7 @@ def apply_corpus_filters(
     dedup_urls: bool = True,
     repetition: bool = True,
     near_dup_threshold: float | None = None,
+    substring_w: int | None = None,
     url_col: str = "url",
     text_col: str = "text",
 ) -> DataFrame:
@@ -134,6 +135,10 @@ def apply_corpus_filters(
       3. MinHash near-dup dedup (optional, enabled by a threshold) —
          keep one representative per near-dup cluster
          (operators/dedup.py D3+D6).
+      4. Substring-level dedup (optional, enabled by a window width —
+         Lee et al. use 50): corpus-wide duplicated w-token spans are
+         EXCISED from the surviving rows' text (rows are edited, not
+         dropped; operators/substring_dedup.py).
 
     Everything is lazy transformations — no driver-side actions — so
     the chain composes into a single resumable TableWriter write.
@@ -167,6 +172,23 @@ def apply_corpus_filters(
             ids, text_col=text_col, id_col="_nid", threshold=near_dup_threshold
         )
         df = dedup_keep_representatives(ids, pairs, id_col="_nid").drop("_nid")
+    if substring_w is not None:
+        from .substring_dedup import remove_duplicate_windows
+
+        clean = remove_duplicate_windows(
+            df.select(url_col, text_col), w=substring_w,
+            id_col=url_col, text_col=text_col,
+        ).select(
+            url_col,
+            F.col("clean_text").alias("_ct"),
+            "n_dup_windows",
+            "n_removed",
+        )
+        df = (
+            df.join(clean, url_col, "left")
+            .withColumn(text_col, F.coalesce("_ct", F.col(text_col)))
+            .drop("_ct")
+        )
     return df
 
 

@@ -93,3 +93,32 @@ def test_min_count_threshold(spark):
     # the boilerplate window occurs 3 times; min_count=4 flags nothing
     assert duplicated_windows(_df(spark, texts), w=7, min_count=4).count() == 0
     assert duplicated_windows(_df(spark, texts), w=7, min_count=3).count() == 3
+
+
+def test_corpus_filter_chain_excises_spans(spark):
+    """apply_corpus_filters(substring_w=...) edits rows in place: text
+    loses the duplicated span, every other column survives."""
+    from neuscraper_spark.operators.curation import apply_corpus_filters
+
+    # context words are PER-DOC unique: only the pure boilerplate
+    # window repeats across docs (a shared word adjacent to the
+    # boilerplate would legitimately extend the duplicated span)
+    df = spark.createDataFrame(
+        [
+            (f"https://a.example.com/{i}",
+             f"unique{i} open{i} {BOILER} close{i} tail{i}", i)
+            for i in range(4)
+        ],
+        "url string, text string, score long",
+    )
+    out = apply_corpus_filters(
+        df, dedup_urls=False, repetition=False, substring_w=7
+    )
+    rows = {r["url"]: r for r in out.collect()}
+    assert len(rows) == 4
+    for i in range(4):
+        r = rows[f"https://a.example.com/{i}"]
+        assert "copyright" not in r["text"]
+        assert r["text"] == f"unique{i} open{i} close{i} tail{i}"
+        assert r["score"] == i  # other columns intact
+        assert r["n_dup_windows"] == 1 and r["n_removed"] == 7
