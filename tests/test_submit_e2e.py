@@ -84,6 +84,32 @@ def test_spark_submit_pipeline_and_resume(spark, input_parquet, tmp_path):
     assert os.path.exists(victim)
 
 
+def test_spark_submit_multi_executor_cluster(spark, input_parquet, tmp_path):
+    """The north rule's literal launch sentence: spark-submit --py-files
+    on a MULTI-EXECUTOR cluster. local-cluster[2,2,1024] spawns two real
+    executor JVMs (own heaps, task schedulers, python worker pools);
+    the zip must resolve inside them, not just on the driver."""
+    zip_path = os.path.join(REPO, "neuscraper_spark.zip")
+    subprocess.run([sys.executable, os.path.join(REPO, "jobs", "package.py")],
+                   check=True, cwd=REPO, capture_output=True)
+    out_table = str(tmp_path / "curated_mc")
+    cmd = [
+        _spark_submit(), "--master", "local-cluster[2,2,1024]",
+        "--py-files", zip_path,
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.executor.memory=1g",
+        os.path.join(REPO, "jobs", "run_pipeline.py"),
+        "--input", input_parquet, "--output", out_table,
+        "--partitions", "4", "--fused",
+    ]
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=540, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    back = spark.read.parquet(os.path.join(out_table, "data"))
+    assert back.count() > 0
+    assert "keep" in back.columns and "scrubbed_text" in back.columns
+
+
 def test_inference_cli_roundtrip(spark, input_parquet, tmp_path):
     from pyspark.sql import functions as F
 
