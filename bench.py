@@ -244,6 +244,7 @@ def run_level(
             "a1_ordered_concat", "j1_left_join", "a2_distinct_set",
             "w2_row_number", "t_tumbling_window",
             "t1_t2_temporal_joins", "t3_rollup_cascade", "d3_d4_d5_sketches",
+            "q_substring_dedup", "q_cluster_assign",
         ]
         qs = all_queries()
         queries: dict[str, float] = {
