@@ -100,31 +100,42 @@ def remove_duplicate_windows(
     survivors re-joined in order with single spaces. Overlapping
     flagged windows merge naturally (coverage is a distinct-position
     set). Docs shorter than ``w`` words have no windows and pass
-    through (whitespace-normalized) unchanged."""
+    through (whitespace-normalized) unchanged.
+
+    Plan economy: ONE doc-keyed aggregation computes n_words,
+    n_removed AND the reassembled text from the words⟕covered merge
+    (collect_list skips the NULL elements the covered mark produces),
+    and n_dup_windows rides a small agg off the flagged set — an
+    earlier draft hung four independent agg branches off ``words`` and
+    recomputed its parse/shuffle per branch."""
     words = _words(df, id_col, text_col)
     flagged = duplicated_windows(df, w, id_col, text_col, min_count)
     covered = flagged.select(
         id_col,
         F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias("pos"),
-    ).distinct()
+    ).distinct().withColumn("_cov", F.lit(1))
     flag_stats = flagged.groupBy(id_col).agg(
         F.count("*").alias("n_dup_windows")
     )
-    rm_stats = covered.groupBy(id_col).agg(F.count("*").alias("n_removed"))
-    word_stats = words.groupBy(id_col).agg(F.count("*").alias("n_words"))
-    kept = words.join(covered, [id_col, "pos"], "left_anti")
-    clean = kept.groupBy(id_col).agg(
+    merged = words.join(covered, [id_col, "pos"], "left")
+    stats = merged.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.count("_cov").alias("n_removed"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                F.array_sort(
+                    F.collect_list(  # skips NULLs: covered words drop out
+                        F.when(F.col("_cov").isNull(), F.struct("pos", "w"))
+                    )
+                ),
                 lambda x: x["w"],
             ),
             " ",
-        ).alias("clean_text")
+        ).alias("clean_text"),
     )
-    out = df.select(id_col)
-    for side in (word_stats, flag_stats, rm_stats, clean):
-        out = out.join(side, id_col, "left")
+    out = df.select(id_col).join(stats, id_col, "left").join(
+        flag_stats, id_col, "left"
+    )
     return out.select(
         id_col,
         F.coalesce("n_words", F.lit(0)).alias("n_words"),
