@@ -4,13 +4,20 @@
         --table /path/curated_table --where "pii_count > 0" \
         [--key-col url] [--materialize]
 
-Phase 1 (always): write an equality-delete file — instant, no data
-rewritten; every read of the table hides the matching rows from then
-on, including rows a later re-crawl appends under the same key.
-Phase 2 (--materialize): rewrite every partition with the delete keys
-anti-joined out and retire the delete files — the rows are gone from
-storage, completing the erasure (run it in the maintenance window;
-it is the expensive full-table pass).
+Phase 1 (always): write a delete file — instant, no data rewritten;
+every read of the table hides the matching rows from then on. Two
+flavors:
+  default (equality, --key-col): a TAKEDOWN — the key stays hidden
+  even if a later re-crawl appends it again;
+  --positions: pin exactly the rows matching NOW by (file, row-index)
+  address — later appends of the same content are unaffected (fix a
+  bad batch without embargoing its keys).
+Phase 2 (--materialize): rewrite every partition with the deletes
+applied and retire the delete files — the rows are gone from storage,
+completing the erasure (run it in the maintenance window; it is the
+expensive full-table pass). Required eventually for --positions:
+compaction refuses to rewrite files while position deletes are
+pending.
 """
 
 from __future__ import annotations
@@ -29,6 +36,9 @@ def main() -> None:
                     help="SQL predicate selecting rows to erase")
     ap.add_argument("--key-col", default="url",
                     help="equality-delete key column")
+    ap.add_argument("--positions", action="store_true",
+                    help="position delete (exact rows, no re-ingest "
+                    "embargo) instead of an equality takedown")
     ap.add_argument("--partition-col", default="host_bucket")
     ap.add_argument("--materialize", action="store_true",
                     help="also rewrite partitions and retire the delete "
@@ -40,9 +50,14 @@ def main() -> None:
 
     spark = get_spark("neuscraper_erase")
     w = TableWriter(args.table, partition_col=args.partition_col)
-    snap = w.delete_where(spark, args.where, key_col=args.key_col)
-    print(f"delete {snap['delete']['name']}: {snap['delete']['n_keys']} keys "
-          f"({args.key_col}) hidden from all reads")
+    if args.positions:
+        snap = w.delete_positions(spark, args.where)
+        print(f"delete {snap['delete']['name']}: {snap['delete']['n_keys']} "
+              "row addresses hidden from all reads")
+    else:
+        snap = w.delete_where(spark, args.where, key_col=args.key_col)
+        print(f"delete {snap['delete']['name']}: {snap['delete']['n_keys']} "
+              f"keys ({args.key_col}) hidden from all reads")
     if args.materialize:
         res = w.compact(spark, apply_deletes=True)
         print(f"materialized: {res.get('materialized_deletes', [])} across "

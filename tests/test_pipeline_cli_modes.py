@@ -99,3 +99,37 @@ def test_compact_zorder_flag(spark, page_drop, tmp_path, monkeypatch):
     got = w.read(spark)
     assert got.count() > 0
     assert w.snapshots()[-1].get("layout_cols") == ["ppl", "n_words"]
+
+
+def _run_erase(monkeypatch, argv):
+    spec = importlib.util.spec_from_file_location(
+        "erase_under_test", os.path.join(REPO, "jobs", "erase.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", ["erase.py", *argv])
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    mod.main()
+
+
+def test_erase_cli_both_flavors(spark, tmp_path, monkeypatch):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 20).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        (F.col("id") % 2).cast("string").alias("host_bucket"),
+        (F.col("id") * 10).alias("score"),
+    )
+    w = TableWriter(root, partition_col="host_bucket")
+    w.write(df, mode="resume")
+    # position delete first (no embargo), then equality takedown,
+    # then materialize both in one maintenance pass
+    _run_erase(monkeypatch, ["--table", root, "--where", "score >= 180",
+                             "--positions"])
+    _run_erase(monkeypatch, ["--table", root, "--where", "url = 'u3'"])
+    assert w.read(spark).count() == 17
+    _run_erase(monkeypatch, ["--table", root, "--where", "score < 0",
+                             "--materialize"])
+    assert w.committed_deletes() == []
+    assert spark.read.parquet(w.data_dir).count() == 17  # erased from bytes
