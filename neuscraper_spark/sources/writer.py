@@ -87,6 +87,18 @@ def _file_column_stats(fmeta) -> dict:
     return {k: v for k, v in out.items() if v is not None}
 
 
+def _bloom_positions(value, n_bits: int, k: int) -> list[int]:
+    """k bit positions via Kirsch-Mitzenmacher double hashing over
+    blake2b(value) — platform/run-stable (no Python hash randomization),
+    shared by the builder and the prober."""
+    import hashlib
+
+    h = hashlib.blake2b(str(value).encode("utf-8"), digest_size=16).digest()
+    a = int.from_bytes(h[:8], "little")
+    b = int.from_bytes(h[8:], "little") | 1
+    return [(a + i * b) % n_bits for i in range(k)]
+
+
 def _ranges_from_stats(manifest: dict, cols: list[str]) -> dict | None:
     """{col: (min, max)} for a Z-order rewrite, derived from the
     partition manifest's per-file footer stats — the same numbers a
@@ -675,6 +687,113 @@ class TableWriter:
             *[F.col(c) for c in extra],
         )
 
+    # ------------------------------------------------- bloom file skipping
+
+    def add_blooms(self, col: str, n_bits: int = 8192, k: int = 6,
+                   partitions: list[str] | None = None,
+                   force: bool = False) -> dict:
+        """Attach a per-file Bloom filter over ``col`` to the manifests
+        (Iceberg's bloom-filter file skipping). Min/max stats are
+        useless for point lookups on a high-cardinality key (every
+        file's [min, max] url range spans the query); a 1 KB bloom per
+        file answers "definitely not in this file" with ~0.5% false
+        positives at 8192 bits / 6 hashes / ~1k keys.
+
+        Metadata-side maintenance: reads ONLY ``col``'s column chunks
+        via pyarrow (no Spark job), rewrites each manifest atomically
+        (tmp+fsync+rename — additive metadata, row counts untouched, so
+        concurrent readers are unaffected). Idempotent; ``force``
+        rebuilds filters that already exist. Compaction re-runs this
+        for partitions whose old manifest carried blooms."""
+        import base64
+
+        import pyarrow.parquet as pq
+
+        pdirs = self._data_partitions()
+        todo = partitions if partitions is not None else sorted(
+            self.committed_partitions()
+        )
+        built = 0
+        for p in todo:
+            mpath = self._manifest_path(p)
+            with open(mpath) as f:
+                manifest = json.load(f)
+            changed = False
+            for finfo in manifest["lineage"]["files"]:
+                blooms = finfo.setdefault("bloom", {})
+                if col in blooms and not force:
+                    continue
+                path = os.path.join(pdirs[p], finfo["file"])
+                import pyarrow as pa
+
+                try:
+                    values = pq.read_table(path, columns=[col])[col]
+                except (KeyError, pa.lib.ArrowInvalid):
+                    continue  # file predates the column / no such column
+                bits = bytearray(n_bits // 8)
+                n_vals = 0
+                for v in values:
+                    v = v.as_py()
+                    if v is None:
+                        continue
+                    n_vals += 1
+                    for pos in _bloom_positions(v, n_bits, k):
+                        bits[pos >> 3] |= 1 << (pos & 7)
+                blooms[col] = {
+                    "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+                    "n_bits": n_bits,
+                    "k": k,
+                    "n_values": n_vals,
+                }
+                changed = True
+                built += 1
+            if changed:
+                with open(mpath + ".tmp", "w") as f:
+                    json.dump(manifest, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(mpath + ".tmp", mpath)
+        return {"col": col, "files_built": built}
+
+    def prune_files_eq(self, col: str, value,
+                       snapshot_id: int | None = None) -> dict:
+        """Point-lookup file skipping: a file is kept unless its min/max
+        stats exclude ``value`` OR its bloom filter says definitely-not-
+        present. Files without either are kept (cannot-prune is
+        conservative). Same return shape as prune_files."""
+        import base64
+
+        _, target_id, done = self._visible(snapshot_id)
+        pdirs = self._data_partitions()
+        groups: dict[int, list[str]] = {}
+        total = kept = 0
+        for sid, ps in self._group_by_schema(done).items():
+            sid = min(sid, target_id) if target_id is not None else sid
+            for p in ps:
+                with open(self._manifest_path(p)) as f:
+                    manifest = json.load(f)
+                for finfo in manifest["lineage"]["files"]:
+                    total += 1
+                    keep = True
+                    st = finfo.get("stats", {}).get(col)
+                    if st is not None and not (st["min"] <= value <= st["max"]):
+                        keep = False
+                    bl = finfo.get("bloom", {}).get(col)
+                    if keep and bl is not None:
+                        bits = base64.b64decode(bl["b64"])
+                        keep = all(
+                            bits[pos >> 3] & (1 << (pos & 7))
+                            for pos in _bloom_positions(
+                                value, bl["n_bits"], bl["k"]
+                            )
+                        )
+                    if keep:
+                        kept += 1
+                        groups.setdefault(sid, []).append(
+                            os.path.join(pdirs[p], finfo["file"])
+                        )
+        return {"groups": groups, "files_total": total, "files_kept": kept}
+
     # ------------------------------------------------------- file skipping
 
     def prune_files(self, col: str, lo=None, hi=None,
@@ -1141,6 +1260,17 @@ class TableWriter:
             shutil.rmtree(pdir + ".old", ignore_errors=True)
             os.unlink(self._compact_marker)
             rewritten[p] = {"files_before": len(files), "files_after": len(new_files)}
+            # blooms name the OLD files' contents — rebuild them over
+            # the rewritten files with the same parameters
+            old_blooms = {
+                c: bl
+                for fr in old_manifest["lineage"]["files"]
+                for c, bl in (fr.get("bloom") or {}).items()
+            }
+            for c, bl in sorted(old_blooms.items()):
+                self.add_blooms(
+                    c, n_bits=bl["n_bits"], k=bl["k"], partitions=[p]
+                )
 
         materialized = []
         if deletes:
