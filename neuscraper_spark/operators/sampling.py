@@ -129,3 +129,54 @@ def mix_corpus(
         )
         .drop("_n", "_rate", "_thr")
     )
+
+
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "url",
+    salt: str = "split",
+    out_col: str = "split",
+    by_host: bool = False,
+) -> DataFrame:
+    """Deterministic train/validation/test split labels — zero shuffle,
+    pure per-row predicate, reproducible across runs/engines/
+    partitioning (the deterministic_sample hash machinery applied to
+    cumulative bands: a key lands in the band its md5 prefix sorts
+    into).
+
+    Two properties a training-data split must have, both pinned by
+    tests:
+    - **Leakage safety**: ``by_host=True`` keys the hash on the url's
+      host, so every page of a site — including near-duplicates the
+      dedup pass missed — lands in the SAME split (C4/Pile
+      methodology: page-level splits leak templated content across
+      train/test).
+    - **Band nesting**: bands are cumulative prefixes of the hash
+      space, so growing the first split's weight only ADDS keys to it;
+      no key ever swaps between two existing splits when a later
+      band's weight changes.
+
+    ``weights`` must sum to 1 (insertion order defines band order; the
+    last band absorbs float residue as the otherwise-branch).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if len(weights) < 2:
+        raise ValueError("need >= 2 splits")
+    key = (
+        F.regexp_extract(F.col(key_col), r"^https?://([^/]+)", 1)
+        if by_host
+        else F.col(key_col).cast("string")
+    )
+    h = F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8)
+    names = list(weights)
+    acc = 0.0
+    expr = None
+    for name in names[:-1]:
+        acc += weights[name]
+        band = h < F.lit(rate_to_threshold_hex(acc))
+        expr = F.when(band, name) if expr is None else expr.when(band, name)
+    expr = expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)

@@ -1457,14 +1457,15 @@ def _sample_mix_sql() -> str:
     from .operators.sampling import rate_to_threshold_hex as thr
 
     return f"""
-    SELECT 'fixed' AS variant, doc_id, lang FROM documents
+    SELECT 'fixed' AS variant, doc_id, lang, CAST(NULL AS VARCHAR) AS split
+    FROM documents
     WHERE lang = 'zh'
        OR substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) <
           CASE lang WHEN 'en' THEN '{thr(0.5)}'
                     WHEN 'de' THEN '{thr(0.25)}'
                     WHEN 'zh' THEN '{thr(1.0)}' END
     UNION ALL
-    SELECT 'target' AS variant, d.doc_id, d.lang
+    SELECT 'target' AS variant, d.doc_id, d.lang, CAST(NULL AS VARCHAR)
     FROM documents d
     JOIN (
       SELECT lang,
@@ -1481,7 +1482,7 @@ def _sample_mix_sql() -> str:
               lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
                    8, '0'))
     UNION ALL
-    SELECT 'tokens' AS variant, d.doc_id, d.lang
+    SELECT 'tokens' AS variant, d.doc_id, d.lang, CAST(NULL AS VARCHAR)
     FROM documents d
     JOIN (
       SELECT lang,
@@ -1497,6 +1498,14 @@ def _sample_mix_sql() -> str:
            OR substr(md5('s3' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
               lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
                    8, '0'))
+    UNION ALL
+    SELECT 'split' AS variant, doc_id, lang,
+           CASE WHEN substr(md5('sp' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '{thr(0.8)}' THEN 'train'
+                WHEN substr(md5('sp' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '{thr(0.9)}' THEN 'val'
+                ELSE 'test' END
+    FROM documents
     """
 
 
@@ -1518,10 +1527,14 @@ def q_sample_mix(spark, sf_dir):
     # - 'tokens': the same mix under a CHAR budget (weight_col =
     #   n_chars, the unit a training mix is actually specified in):
     #   ~120k chars split evenly en/zh.
-    from .operators.sampling import mix_corpus, stratified_sample
+    # - 'split': assign_split's cumulative-band train/val/test labels
+    #   (80/10/10 on the doc_id hash; by_host leakage safety is pinned
+    #   by pytest — the fixture table has no url column).
+    from .operators.sampling import assign_split, mix_corpus, stratified_sample
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    out_cols = [F.col("doc_id"), F.col("lang")]
+    nul = F.lit(None).cast("string").alias("split")
+    out_cols = [F.col("doc_id"), F.col("lang"), nul]
     fixed = stratified_sample(
         docs, {"en": 0.5, "de": 0.25, "zh": 1.0}, "lang", "doc_id", salt="s1"
     ).select(F.lit("fixed").alias("variant"), *out_cols)
@@ -1542,7 +1555,14 @@ def q_sample_mix(spark, sf_dir):
         salt="s3",
         weight_col="n_chars",
     ).select(F.lit("tokens").alias("variant"), *out_cols)
-    return fixed.unionByName(target).unionByName(tokens)
+    split = assign_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_col="doc_id", salt="sp",
+    ).select(
+        F.lit("split").alias("variant"), F.col("doc_id"), F.col("lang"),
+        F.col("split"),
+    )
+    return fixed.unionByName(target).unionByName(tokens).unionByName(split)
 
 
 # ---------------------------------------------------------------------------

@@ -2,6 +2,7 @@
 and plan shape."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from neuscraper_spark.operators.sampling import (
     deterministic_sample,
@@ -122,3 +123,66 @@ def test_threshold_hex_boundaries():
     assert rate_to_threshold_hex(1.0) == "ffffffff"
     assert rate_to_threshold_hex(0.5) == "80000000"
     assert rate_to_threshold_hex(2.0) == "ffffffff"
+
+
+# ------------------------------------------------- train/val/test splits
+
+
+def test_split_proportions_and_determinism(spark):
+    from neuscraper_spark.operators.sampling import assign_split
+
+    df = spark.range(0, 4000).selectExpr("cast(id as string) AS url")
+    out = assign_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["val"] / 4000 - 0.1) < 0.02
+    # deterministic: a re-run labels identically
+    again = assign_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).count() == 0
+
+
+def test_split_bands_nest(spark):
+    """Growing the first band only ADDS keys: no key swaps between two
+    existing splits when a later band's weight changes."""
+    from neuscraper_spark.operators.sampling import assign_split
+
+    df = spark.range(0, 2000).selectExpr("cast(id as string) AS url")
+    small = assign_split(df, {"train": 0.7, "val": 0.2, "test": 0.1})
+    big = assign_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    s = {r["url"]: r["split"] for r in small.collect()}
+    b = {r["url"]: r["split"] for r in big.collect()}
+    for url, lbl in s.items():
+        if lbl == "train":
+            assert b[url] == "train"  # train is a prefix band: only grows
+
+
+def test_split_by_host_is_leakage_safe(spark):
+    from neuscraper_spark.operators.sampling import assign_split
+
+    df = spark.range(0, 900).selectExpr(
+        "concat('https://site', cast(id % 30 as string), "
+        "'.example.com/page/', cast(id as string)) AS url"
+    )
+    out = assign_split(
+        df, {"train": 0.6, "val": 0.2, "test": 0.2}, by_host=True
+    )
+    per_host = (
+        out.selectExpr("regexp_extract(url, '^https?://([^/]+)', 1) AS host",
+                       "split")
+        .groupBy("host")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in per_host)  # one split per site
+
+
+def test_split_validation(spark):
+    from neuscraper_spark.operators.sampling import assign_split
+
+    df = spark.range(0, 5).selectExpr("cast(id as string) AS url")
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(df, {"train": 0.8, "val": 0.1})
+    with pytest.raises(ValueError, match=">= 2"):
+        assign_split(df, {"train": 1.0})
