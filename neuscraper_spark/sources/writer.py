@@ -1383,7 +1383,10 @@ class TableWriter:
         position deletes must be materialized first (their addresses
         would be orphaned by the rewrite); equality deletes stay in
         force globally — merging a key that was taken down leaves it
-        hidden, by design."""
+        hidden, by design. Bloom filters describe the replaced files
+        and are dropped from rewritten partitions' manifests — re-run
+        add_blooms after a merge (prune_files_eq stays conservative
+        without them)."""
         self._finish_compaction()
         self._finish_merge()
         self._clean_orphan_deletes()
