@@ -221,10 +221,15 @@ def word_counts(df, text_col: str = "text", top_k: int = 1 << 16):
     the bounded top-K collect that feeds the driver-side merge loop."""
     from pyspark.sql import functions as F
 
+    # (?U): Java \w is ASCII-only by default while the Python side
+    # (words_of, re.UNICODE) is not — without it 'café' trains as
+    # 'caf'+'é' fragments that encode() never produces (r5 review)
     return (
         df.select(
             F.explode(
-                F.expr(rf"regexp_extract_all({text_col}, '\\w+|[^\\w\\s]', 0)")
+                F.expr(
+                    rf"regexp_extract_all({text_col}, '(?U)\\w+|[^\\w\\s]', 0)"
+                )
             ).alias("word")
         )
         .groupBy("word")

@@ -114,6 +114,11 @@ def kmeans_fit(
 
     ``init`` defaults to the k smallest-id rows (deterministic). Returns
     (centroids, iterations_run).
+
+    Scale note: the M-step's groupBy builds one sum expression per
+    vector element (dim expressions). Fine through a few hundred dims;
+    for very wide embeddings swap the array agg for a posexplode ->
+    (cluster, idx) sum — same exchange volume, linear expression count.
     """
     src = df.select(id_col, vec_col)
     if init is None:

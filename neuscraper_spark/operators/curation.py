@@ -153,12 +153,23 @@ def apply_corpus_filters(
             .drop("_rn", "url_norm")
         )
     if repetition:
-        from .repetition import METRIC_COLS, with_repetition
+        from .repetition import with_repetition
 
+        # metrics key on a CONTENT hash over distinct rows, not the raw
+        # url: without --dedup-urls a twice-crawled url would otherwise
+        # aggregate both copies' lines as one document, read ~50% dup
+        # fraction, and silently drop every copy (r5 review)
+        base = df.withColumn(
+            "_rid", F.xxhash64(F.col(url_col), F.col(text_col))
+        )
+        uniq = base.select("_rid", text_col).dropDuplicates(["_rid"])
+        rep = with_repetition(uniq, id_col="_rid", text_col=text_col).select(
+            "_rid", "repetition_pass"
+        )
         df = (
-            with_repetition(df, id_col=url_col, text_col=text_col)
+            base.join(rep, "_rid")
             .filter("repetition_pass")
-            .drop(*METRIC_COLS, "repetition_pass")
+            .drop("_rid", "repetition_pass")
         )
     if near_dup_threshold is not None:
         from .dedup import dedup_keep_representatives, minhash_lsh_pairs

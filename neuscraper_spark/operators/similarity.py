@@ -474,7 +474,7 @@ def append_ivf_index(spark, new_emb: DataFrame, index_root: str,
     )
     marker = os.path.join(groot, "_committed.json")
     with open(marker + ".tmp", "w") as f:
-        _json.dump({"generation": gen, "n_rows": snap.get("n_rows")}, f)
+        _json.dump({"generation": gen, "n_rows": snap.get("rows_written")}, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(marker + ".tmp", marker)

@@ -35,6 +35,8 @@ def _bucket(col: str, lo: float, hi: float, bits: int) -> Column:
     bucket 0 (they sort together, and cannot-prune stats keep them
     visible to every query)."""
     n = 1 << bits
+    if lo is None or hi is None:  # all-NULL column: no information
+        return F.lit(0).cast("long")
     span = hi - lo
     if span <= 0:  # constant column: every row in bucket 0
         return F.lit(0).cast("long")

@@ -340,12 +340,14 @@ class TableWriter:
             # data for same-valued partitions
             for name in list(os.listdir(self.snapshot_dir)):
                 os.unlink(os.path.join(self.snapshot_dir, name))
+            # ...and neither can delete files: a stale equality delete
+            # would silently suppress same-keyed rows of the REPLACEMENT
+            # table, and a stale position delete names files that no
+            # longer exist (permanently blocking compact/merge)
+            if os.path.isdir(self.deletes_dir):
+                shutil.rmtree(self.deletes_dir)
 
         todo = df.filter(~self._pstr().isin(*done) if done else F.lit(True))
-
-        # persist the schema log so read() on an empty/fresh table
-        # returns real columns, not just the partition column
-        self._save_schema_registry(reg)
 
         # clear uncommitted leftovers (a crash after data-write but
         # before manifest-commit leaves orphan files) so the append
@@ -398,6 +400,14 @@ class TableWriter:
                 # leave the partitions unmanifested: invisible to every
                 # read; the next resume-mode write rewrites them
                 raise ExpectationError(report)
+
+        # persist the schema log only after the audit gate: a REJECTED
+        # batch must not publish its schema evolution either (r5 review
+        # — the save used to run pre-audit, so a failed
+        # write-audit-publish still added the new column with its
+        # default on every pre-existing row). Saved before the manifest
+        # commit so even an empty/fresh table read returns real columns.
+        self._save_schema_registry(reg)
 
         # commit manifests AFTER the data lands (write tmp, fsync,
         # rename): a crash in between leaves the partition uncommitted
@@ -859,26 +869,39 @@ class TableWriter:
             if saved is not None:
                 return spark.createDataFrame([], schema=saved)
             return spark.createDataFrame([], schema=f"{self.partition_col} string")
+        deletes = self._visible_deletes(snapshot_id)
+        # position deletes anti-join on (_file,_pos): surface them here
+        # exactly like _scan_partitions does (r5 review — the pruned
+        # path used to raise whenever a position delete was pending)
+        with_meta = any(
+            d.get("kind", "equality") == "position" for d in deletes
+        )
         default_of = self._defaults()
+        extra_cols = ("_file", "_pos") if with_meta else ()
         parts = []
         for sid, paths in sorted(pruned["groups"].items()):
             gschema = self.schema_as_of(sid) if reg is not None else None
             if gschema is None:  # foreign table: inferred scan
-                parts.append(
-                    spark.read.option("basePath", self.data_dir).parquet(*paths)
-                )
+                scan = spark.read.option("basePath", self.data_dir).parquet(*paths)
+                if with_meta:
+                    scan = self._with_positions(scan)
+                parts.append(scan)
                 continue
             scan = (
                 spark.read.schema(gschema)
                 .option("basePath", self.data_dir)
                 .parquet(*paths)
             )
-            parts.append(self._project_to(scan, gschema, saved, default_of))
+            if with_meta:
+                scan = self._with_positions(scan)
+            parts.append(
+                self._project_to(scan, gschema, saved, default_of, extra_cols)
+            )
         df = parts[0]
         for extra in parts[1:]:
             df = df.unionByName(extra)
-        return self._apply_deletes(
-            spark, df.filter(cond), self._visible_deletes(snapshot_id)
+        return self._apply_deletes(spark, df.filter(cond), deletes).drop(
+            "_file", "_pos"
         )
 
     def partition_metrics(self) -> dict[str, dict]:
@@ -1188,13 +1211,18 @@ class TableWriter:
             )
         deletes = committed_dels if apply_deletes else []
         rewritten: dict[str, dict] = {}
+        # hoisted out of the loop: partition_metrics() parses EVERY
+        # manifest — inside the loop that is O(partitions^2) metadata
+        # I/O on the wide tables compaction exists for (r5 review)
+        committed_now = self.committed_partitions()
+        all_metrics = self.partition_metrics()
         for p, pdir in sorted(self._data_partitions().items()):
-            if p not in self.committed_partitions():
+            if p not in committed_now:
                 continue  # orphan of a crashed write; resume owns it
             files = [fn for fn in os.listdir(pdir) if fn.endswith(".parquet")]
             if len(files) < min_files and not deletes and not layout_cols:
                 continue
-            old_manifest = self.partition_metrics()[p]
+            old_manifest = all_metrics[p]
             tmp = pdir + ".compact_tmp"
             shutil.rmtree(tmp, ignore_errors=True)
             # rows only — the partition column lives in the dir name
@@ -1437,20 +1465,35 @@ class TableWriter:
 
         cur = self.read(spark)
         src_keys = source.select(key_col).where(F.col(key_col).isNotNull()).distinct()
-        affected = {
-            r[0]
-            for r in cur.join(src_keys, key_col, "left_semi")
-            .select(self._pstr().alias("p")).distinct().collect()
-        }
+        # one job finds the affected partitions AND the true match
+        # counts (visible rows whose key the source replaces) — the
+        # per-partition arithmetic an earlier draft derived from
+        # physical row counts overcounted by any equality-deleted rows
+        # the rewrite incidentally materializes, and cost one extra
+        # count job per partition (r5 review)
+        match_rows = (
+            cur.join(src_keys, key_col, "left_semi")
+            .groupBy(self._pstr().alias("p"))
+            .count()
+            .collect()
+        )
+        matches_by_part = {r["p"]: r["count"] for r in match_rows}
+        affected = set(matches_by_part)
         rewrite = sorted((affected | (src_parts & done)) - new_parts)
 
         import pyarrow.parquet as pq
 
         swaps = []
-        n_matched = 0
+        # the semi-join ran after the new-partition commit, so matches
+        # inside new_parts are the source's OWN just-appended rows, not
+        # pre-existing ones — exclude them from the stat
+        n_matched = sum(
+            v for p, v in matches_by_part.items() if p not in new_parts
+        )
         old_metrics = self.partition_metrics()
+        pdirs = self._data_partitions()
         for p in rewrite:
-            pdir = self._data_partitions()[p]
+            pdir = pdirs[p]
             tmp = pdir + ".merge_tmp"
             shutil.rmtree(tmp, ignore_errors=True)
             keep = (
@@ -1476,9 +1519,6 @@ class TableWriter:
             reg = self._load_schema_registry()
             if reg is not None:
                 payload["lineage"]["schema_id"] = reg["current_id"]
-            n_matched += old_manifest["metrics"]["n_rows"] - (
-                n_rows - incoming.count()
-            )
             swaps.append({"pdir": pdir, "partition": p, "manifest": payload})
 
         snapshot = {
