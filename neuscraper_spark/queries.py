@@ -1078,13 +1078,21 @@ def d3_d4_d5_sketches(spark, sf_dir):
     from .operators.dedup import (
         embedding_neardup_lsh,
         exact_shingle_jaccard_pairs,
-        minhash_lsh_pairs,
+        minhash_band_candidates,
         simhash_near_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # r6: the minhash branch feeds the BAND CANDIDATES straight to the
+    # exact verify (Lee et al. shape). The r5 plan interposed the
+    # signature-estimated jaccard at 0.2 as a prefilter; the exact
+    # verify at 0.8 subsumes it (any candidate the estimator would have
+    # dropped either fails the exact test too, or belongs in the oracle
+    # set and was provably not being missed — hash-green r5 row), so
+    # removing it cannot change the output while saving the estimator's
+    # signature payload through the bucket exchange.
     mh = exact_shingle_jaccard_pairs(
-        minhash_lsh_pairs(docs, threshold=0.2), docs, threshold=0.8
+        minhash_band_candidates(docs), docs, threshold=0.8, shingle_per="pair"
     ).select(
         F.lit("minhash").alias("variant"), "id_a", "id_b",
         F.col("jaccard").alias("score"),
