@@ -219,3 +219,43 @@ def test_ppl_batch_matches_sequential_reference():
         assert Q.ppl_batch([texts[i]])[0] == got[i]
     singles = [Q.ppl_batch([t])[0] for t in texts]
     assert singles == got
+
+
+def test_stopword_regex_matches_split_membership(spark):
+    """r6: _stop_hits as a bounded-alternation regex must equal the
+    token-set intersection it replaced, including apostrophe/accent
+    boundaries and sub-word non-matches."""
+    from pyspark.sql import functions as F
+
+    from neuscraper_spark.operators.quality import (
+        JAVA_STOPWORD_RE,
+        STOPWORDS,
+    )
+
+    texts = [
+        "the cat and the hat",
+        "theory of operation",            # 'the' only as sub-word -> 0 hits
+        "a'the l'autre que",              # apostrophe-joined runs
+        "THE AND",                        # case folding
+        "",                               # empty
+        "und der die das",
+        "que qué café de",      # accents adjacent
+        "a-a-a to,of;and",                # punctuation separators
+        "isis onon byby",                 # doubled stopwords as sub-words
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    old = F.size(
+        F.array_intersect(
+            F.array_distinct(F.split(F.lower(F.col("text")), r"[^a-zà-ÿ']+")),
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+        )
+    )
+    new = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(JAVA_STOPWORD_RE), F.lit(1)
+            )
+        )
+    )
+    rows = df.select(old.alias("o"), new.alias("n")).collect()
+    assert all(r.o == r.n for r in rows), rows
