@@ -226,14 +226,17 @@ def decontaminate(
     anything shuffles — the only exchange is the id-keyed count of hit
     rows, which is bounded by actual contamination, not corpus size.
     """
-    from .dedup import word_ngrams
+    from .dedup import word_ngram_rows
 
+    # staged gram rows (r6): word_ngram_rows stages the words array so
+    # the gram lambda binds an attribute — the inline word_ngrams form
+    # re-ran the split per gram position (see dedup.word_ngrams note)
     bench_grams = (
-        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("_g"))
+        word_ngram_rows(benchmark, text_col, None, n, gram_col="_g")
         .distinct()
     )
     hits = (
-        df.select(id_col, F.explode(word_ngrams(text_col, n)).alias("_g"))
+        word_ngram_rows(df, text_col, id_col, n, gram_col="_g", out_id=id_col)
         .join(F.broadcast(bench_grams), "_g")
         # word_ngrams is distinct within a document, so count == distinct
         .groupBy(id_col)

@@ -216,3 +216,28 @@ def test_connected_components_doubling_matches_plain(spark):
             parent[hi] = lo
     want = {x: find(x) for x in parent}
     assert d == want
+
+
+def test_word_ngram_rows_equals_exploded_word_ngrams(spark):
+    """r6: the staged gram generator must emit exactly the rows of
+    exploding word_ngrams inline (the form it replaced for speed)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a b"),                      # shorter than n
+        (2, ""),                         # empty
+        (3, "Tab\tand, punct; split--çà l'eau déjà vu encore une fois"),
+        (4, "dup dup dup dup dup"),      # repeated grams collapse
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    staged = D.word_ngram_rows(docs, "text", "doc_id", 3).toPandas()
+    inline = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(D.word_ngrams("text", 3)).alias("gram"),
+    ).toPandas()
+    key = ["id", "gram"]
+    a = staged[key].sort_values(key).reset_index(drop=True)
+    b = inline[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
