@@ -35,7 +35,7 @@ BENCH_QUERIES = [
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default=None, help="write plans/r06/<q>_<tag>.txt")
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=lambda v: max(1, int(v)), default=3)
     ap.add_argument("--out", default=None)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()

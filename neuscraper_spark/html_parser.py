@@ -122,20 +122,47 @@ class _Bail(Exception):
 # and the same start-vs-startend classification — anything else bails
 # to the stdlib parser (tests/test_parser.py::test_fast_tokenizer_*
 # pins the equivalence differentially).
+#
+# Whitespace inside the tag is the EXPLICIT ASCII class [\t\n\r\f ] —
+# never \s. Python's \s additionally matches \x0b/\x85/\xa0/Unicode
+# spaces, but stdlib tagfind_tolerant ends a tag NAME only on
+# [\t\n\r\f />\x00], so '<p\x0bid=x>' is stdlib tag 'p\x0bid=x' while a
+# \s-based fast pattern would silently parse tag 'p' (r6 code-review
+# catch, reproduced). With the ASCII class such inputs simply fail the
+# match and bail to stdlib. Exception: quoted attr VALUES may contain
+# anything but the quote/angle chars — both parsers end them at the
+# closing quote, so no divergence is possible there.
+_WS = "\\t\\n\\r\\f "  # ASCII tag whitespace (see note above)
 _FAST_STARTTAG = re.compile(
-    r"([a-zA-Z][-.a-zA-Z0-9:_]*)"
-    r"((?:\s+[^\s/>=<\"'`][^\s/>=<\"'`]*"
-    r"(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s<>\"'`=]+))?)*)"
-    r"\s*(/?)>"
+    rf"([a-zA-Z][-.a-zA-Z0-9:_]*)"                      # tag name
+    rf"((?:[{_WS}]+[^{_WS}/>=<\"'`][^{_WS}/>=<\"'`]*"  # attr name
+    rf"(?:[{_WS}]*=[{_WS}]*"                            # = value
+    rf"(?:\"[^\"<>]*\"|'[^'<>]*'"                      # quoted value
+    rf"|[^{_WS}<>\"'`=]+(?=[{_WS}/>])))?)*)"           # unquoted value
+    rf"[{_WS}]*(/?)>"
 )
-_FAST_ENDTAG = re.compile(r"/\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_FAST_ENDTAG = re.compile(
+    rf"/[{_WS}]*([a-zA-Z][-.a-zA-Z0-9:_]*)[{_WS}]*>"
+)
 _COMMENT_CLOSE = re.compile(r"--\s*>")  # == html.parser.commentclose
-_CDATA_CLOSE = {
-    # == html.parser.set_cdata_mode's `interesting` (3.11): the cdata
-    # section ends only at a full `</elem\s*>`, case-insensitive
-    elem: re.compile(rf"</\s*{elem}\s*>", re.I)
-    for elem in ("script", "style")
-}
+
+
+def _stdlib_cdata_close(elem: str) -> tuple[re.Pattern, re.Pattern]:
+    """(search, strict) cdata terminators for ``elem``. ``search`` is
+    the stdlib's OWN ``interesting`` regex, taken by introspection from
+    a probe parser so the fast path's data-chunk boundary can never
+    drift from the running interpreter's html.parser (the pattern
+    changed across CPython versions: '</\\s*elem' pre-3.11.4 vs
+    '</\\s*elem\\s*>' after — r6 code-review catch). ``strict`` is the
+    full end-tag form; where ``search`` stops at something that is not
+    a strict full end tag (possible only on the older pattern), the
+    fast path bails instead of guessing."""
+    probe = HTMLParser(convert_charrefs=True)
+    probe.set_cdata_mode(elem)
+    return probe.interesting, re.compile(rf"</\s*{elem}\s*>", re.I)
+
+
+_CDATA_CLOSE = {elem: _stdlib_cdata_close(elem) for elem in ("script", "style")}
 
 
 def _fast_feed(builder: _TreeBuilder, html: str) -> None:
@@ -150,14 +177,18 @@ def _fast_feed(builder: _TreeBuilder, html: str) -> None:
     handle_data = builder.handle_data
     while i < n:
         if cdata_elem is not None:
-            m = _CDATA_CLOSE[cdata_elem].search(html, i)
+            search, strict = _CDATA_CLOSE[cdata_elem]
+            m = search.search(html, i)
             if m is None:
                 raise _Bail  # EOF inside <script>/<style>
+            e = strict.match(html, m.start())
+            if e is None:
+                raise _Bail  # stdlib would treat this as data; let it
             if m.start() > i:
                 handle_data(html[i : m.start()])  # raw: no charref decode
             builder.handle_endtag(cdata_elem)
             cdata_elem = None
-            i = m.end()
+            i = e.end()
             continue
         j = html.find("<", i)
         if j < 0:

@@ -98,3 +98,67 @@ def test_repetition_filter_survives_duplicate_urls(spark):
     # pre-fix: both copies aggregated as one doc, read ~50% duplicate
     # lines, and BOTH were dropped; each copy is clean on its own
     assert out.count() == 2
+
+
+# ------------------------------------------------------------------ round 6
+
+
+def test_fast_tokenizer_bails_on_nonascii_tag_whitespace():
+    """r6 review: Python \\s matches \\x0b/\\xa0/Unicode spaces but
+    stdlib html.parser ends tag names only on [\\t\\n\\r\\f />\\x00] —
+    a \\s-based fast pattern silently parsed '<p\\x0bid=x>' as tag 'p'
+    while stdlib sees tag 'p\\x0bid=x'. The fast path must now bail and
+    match stdlib on every such input."""
+    from tests.test_parser import _as_tuples, _stdlib_rows
+
+    from neuscraper_spark.html_parser import parse_nodes
+
+    cases = [
+        "<html><body><p\x0bid=x>text</p></body></html>",
+        "<html><body><script\x0btype=a>if(a<b){}</script><p>x</p></body></html>",
+        "<html><body><br\x0bz><p>y</p></body></html>",
+        "<html><body><p\xa0class=c>t</p></body></html>",
+        "<html><body><p \x0b>t</p></body></html>",
+        "<html><body><p a=\x0b>t</p></body></html>",
+        "<html><body><p a=1\xa0b=2>t</p></body></html>",
+    ]
+    for html in cases:
+        assert _as_tuples(parse_nodes(html)) == _stdlib_rows(html), repr(html)
+
+
+def test_cdata_close_matches_running_interpreter():
+    """r6 review: the cdata terminator must be the stdlib's own regex
+    (introspected), and the fast path must bail wherever that boundary
+    is not a strict full end tag (older-interpreter pattern)."""
+    from html.parser import HTMLParser
+
+    from tests.test_parser import _as_tuples, _stdlib_rows
+
+    from neuscraper_spark.html_parser import _CDATA_CLOSE, parse_nodes
+
+    probe = HTMLParser(convert_charrefs=True)
+    probe.set_cdata_mode("script")
+    assert _CDATA_CLOSE["script"][0].pattern == probe.interesting.pattern
+    # content containing a lookalike end tag must chunk identically
+    html = '<html><body><script>var s="</scripty>";</script><p>x</p></body></html>'
+    assert _as_tuples(parse_nodes(html)) == _stdlib_rows(html)
+
+
+def test_minhash_bucket_rows_carry_no_signatures(spark):
+    """r6 review: a mega-bucket of near-identical docs must cost the
+    aggregation buffer O(members) ids, not O(members)*sig_bytes — no
+    signature column may enter the bucket collect_list or its exchange."""
+    import re as _re
+
+    import neuscraper_spark.operators.dedup as D2
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "delta")],
+        "doc_id long, text string",
+    )
+    plan = (
+        D2.minhash_lsh_pairs(docs, threshold=0.3)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    m = _re.search(r"collect_list\(([^)]*)\)", plan)
+    assert m and "sig" not in m.group(1), m.group(0) if m else plan
