@@ -241,3 +241,29 @@ def test_word_ngram_rows_equals_exploded_word_ngrams(spark):
     a = staged[key].sort_values(key).reset_index(drop=True)
     b = inline[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_shingle_array_lowered_equals_inline(spark):
+    """r6: the staged shingle form (_shingle_array_lowered over a
+    staged lower(text) column) must emit exactly the arrays of the
+    inline _shingle_array it replaced for speed — including the
+    short-doc whole-text shingle, uppercase folding, and multi-byte
+    chars (substring counts CHARACTERS)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "The Quick Brown Fox Jumps Over The Lazy Dog"),
+        (1, "short"),                    # shorter than k -> one shingle
+        (2, ""),                         # empty
+        (3, "çà l'eau DÉJÀ vu — encore une fois çà l'eau déjà"),
+        (4, "aaaaaaaaaaaaaaaaaa"),       # repeated shingles collapse
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    inline = docs.select("doc_id", D._shingle_array("text").alias("sh"))
+    staged = docs.select(
+        "doc_id", F.lower(F.col("text")).alias("_lt")
+    ).select("doc_id", D._shingle_array_lowered("_lt").alias("sh"))
+    a = inline.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = staged.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a["sh"].map(list).equals(b["sh"].map(list))
