@@ -213,3 +213,38 @@ def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
     # the committed-partition filter (cell IN (...)) reaches the scan
     assert "cell" in plan
     df.collect()  # and it executes correctly end-to-end
+
+
+def test_doc_shape_shingle_staging_survives_optimizer(spark):
+    # r6: the exact shingle verify's doc shape must keep lower(text)
+    # STAGED as a child-projection column — if the optimizer ever
+    # re-inlines it into the transform lambda (the HOF outer-reference
+    # re-evaluation pathology, measured 2x), no test would notice from
+    # outputs alone. Pin the optimized plan: no lower( call inside any
+    # lambdafunction(.
+    import re
+
+    import pandas as pd
+
+    from neuscraper_spark.operators.dedup import exact_shingle_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["Some Document Text Here", "some document text here"]}
+        )
+    )
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [2]}))
+    out = exact_shingle_jaccard_pairs(pairs, docs, threshold=0.5, shingle_per="doc")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for m in re.finditer(r"lambdafunction\(", plan):
+        # scan the lambda body (to its balancing paren) for lower(
+        depth, i = 1, m.end()
+        while i < len(plan) and depth:
+            if plan[i] == "(":
+                depth += 1
+            elif plan[i] == ")":
+                depth -= 1
+            i += 1
+        assert "lower(" not in plan[m.end():i], (
+            "lower() re-inlined into a shingle lambda body:\n" + plan[m.end():i]
+        )
